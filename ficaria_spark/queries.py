@@ -1,0 +1,309 @@
+"""Driver-contract query registry.
+
+Each entry returns a Spark DataFrame given (spark, sf_dir); ORACLE holds the
+DuckDB-equivalent ANSI SQL over the same parquet tables. Column names are
+aliased identically on both sides (the driver sorts columns by name before
+value-hashing).
+
+Cross-engine float hygiene (Spark vs DuckDB must hash-match bit-for-bit):
+* aggregates of money/quantity doubles go through DECIMAL (exact, order-
+  independent) and are cast to double only at the end;
+* timestamps are emitted as epoch MICROSECONDS (bigint) — never as raw
+  timestamps or fractional-second doubles;
+* scalar double arithmetic keeps the identical expression shape on both
+  sides (same operation order → bit-identical IEEE results).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ficaria_spark import datagen
+from ficaria_spark.operators.temporal import (
+    asof_join,
+    interpolate_linear,
+    lag_lead,
+    pit_backfill,
+    sessionize,
+    tumble,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _us(col: str) -> F.Column:
+    return F.unix_micros(F.col(col))
+
+
+_GRID_CTE = f"WITH grid AS ({datagen.FEATURE_GRID_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# Temporal kernel (SURVEY §2.2) over the events-derived feature grid
+# ---------------------------------------------------------------------------
+
+@register(
+    "pit_backfill",
+    oracle=f"""{_GRID_CTE}
+SELECT event_id, entity_id, epoch_us(ts) AS ts_us,
+       coalesce(
+         f_value,
+         last_value(f_value IGNORE NULLS) OVER (
+           PARTITION BY entity_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       ) AS f_value_filled
+FROM grid
+""",
+)
+def q_pit_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = datagen.feature_grid(spark, sf_dir)
+    out = pit_backfill(grid, "entity_id", "ts", ["f_value"], strict=True, tiebreak=["event_id"])
+    return out.select(
+        "event_id", "entity_id", _us("ts").alias("ts_us"),
+        F.col("f_value_filled"),
+    )
+
+
+@register(
+    "lag_lead",
+    oracle=f"""{_GRID_CTE}
+SELECT event_id, entity_id,
+       lag(f_value)  OVER w AS f_value_lag_1,
+       lead(f_value) OVER w AS f_value_lead_1
+FROM grid
+WINDOW w AS (PARTITION BY entity_id ORDER BY ts, event_id)
+""",
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = datagen.feature_grid(spark, sf_dir)
+    out = lag_lead(grid, "entity_id", "ts", ["f_value"], tiebreak=["event_id"])
+    return out.select("event_id", "entity_id", "f_value_lag_1", "f_value_lead_1")
+
+
+@register(
+    "sessionize",
+    oracle=f"""{_GRID_CTE},
+flagged AS (
+  SELECT entity_id, ts, f_value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM grid
+  WINDOW w AS (PARTITION BY entity_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT entity_id, ts, f_value,
+         sum(new_sess) OVER (PARTITION BY entity_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT entity_id, session_seq,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       cast(sum(cast(f_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY entity_id, session_seq
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = datagen.feature_grid(spark, sf_dir)
+    sess = sessionize(grid, "entity_id", "ts", gap_seconds=1800.0, tiebreak=["event_id"])
+    return sess.groupBy("entity_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        F.sum(F.col("f_value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "tumble",
+    oracle="""
+SELECT cast(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = datagen.load(spark, sf_dir, "events")
+    bucketed = tumble(ev, "ts", width_seconds=3600)
+    return bucketed.groupBy("window_start", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = datagen.load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, views, on="ts", by="user_id", value_cols=["value"], strict=True
+    )
+    return joined.select(
+        "event_id", "user_id", _us("ts").alias("ts_us"),
+        F.col("value_asof"),
+    )
+
+
+@register(
+    "interpolate_linear",
+    oracle=f"""{_GRID_CTE},
+g2 AS (SELECT *, cast(epoch_us(ts) AS DOUBLE) AS x FROM grid),
+w AS (
+  SELECT event_id, entity_id, f_value, x,
+    last_value(f_value IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN f_value IS NOT NULL THEN x END IGNORE NULLS) OVER wp AS px,
+    first_value(f_value IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN f_value IS NOT NULL THEN x END IGNORE NULLS) OVER wn AS nx
+  FROM g2
+  WINDOW
+    wp AS (PARTITION BY entity_id ORDER BY x, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wn AS (PARTITION BY entity_id ORDER BY x, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, entity_id,
+       round(coalesce(f_value, pv + (nv - pv) * (x - px) / (nx - px), pv, nv), 6)
+         AS f_value_interp
+FROM w
+""",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = datagen.feature_grid(spark, sf_dir).withColumn(
+        "x", _us("ts").cast("double")
+    )
+    out = interpolate_linear(
+        grid, "entity_id", "x", ["f_value"], x="x", tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id", "entity_id",
+        F.round(F.col("f_value_interp"), 6).alias("f_value_interp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (scan → filter → agg → join → top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  cast(round(sum(cast(l_extendedprice AS DECIMAL(18,4)) * (1 - cast(l_discount AS DECIMAL(9,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  cast(round(sum(cast(l_extendedprice AS DECIMAL(18,4)) * (1 - cast(l_discount AS DECIMAL(9,4))) * (1 + cast(l_tax AS DECIMAL(9,4)))), 2) AS DOUBLE) AS sum_charge,
+  cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+  cast(sum(cast(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = datagen.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(9,4)")
+    tax = F.col("l_tax").cast("decimal(9,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # round the high-scale decimal sums to money scale BEFORE the
+            # double cast: a scale-12 decimal can land between adjacent
+            # doubles and Spark/DuckDB round the conversion differently
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+SELECT c_custkey, c_name,
+       cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = datagen.load(spark, sf_dir, "orders")
+    cust = datagen.load(spark, sf_dir, "customer")
+    # customer is the small dimension — broadcast it (no shuffle of orders)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenized-sequence table (the engine's canonical input) — token passthrough
+# invariant: tokens survive the pipeline bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tokens_passthrough",
+    oracle=f"""
+SELECT cast(doc_id AS VARCHAR) AS doc_id,
+       cast(len({datagen.token_sql()}) AS INT) AS n_tok,
+       array_to_string({datagen.token_sql()}, ',') AS tokens_str,
+       cast(list_sum({datagen.token_sql()}) AS BIGINT) AS tok_sum,
+       source
+FROM documents
+""",
+)
+def q_tokens_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    return seqs.select(
+        "doc_id",
+        "n_tok",
+        F.array_join(F.expr("transform(tokens, t -> cast(t as string))"), ",").alias("tokens_str"),
+        F.expr("aggregate(tokens, cast(0 as bigint), (a, t) -> a + t)").alias("tok_sum"),
+        "source",
+    )

@@ -1,0 +1,186 @@
+"""Temporal kernel tests: differential vs pandas oracles + leakage invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ficaria_spark.operators.temporal import (
+    asof_join,
+    asof_join_cogroup,
+    interpolate_linear,
+    lag_lead,
+    pit_backfill,
+    sessionize,
+    tumble,
+)
+
+
+def _mk_events(spark, n_entities=7, n_rows=400, seed=3):
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n_rows):
+        e = int(rng.integers(0, n_entities))
+        ts = base + dt.timedelta(seconds=int(rng.integers(0, 3_000_000)))
+        v = float(np.round(rng.normal(10, 3), 3)) if rng.random() > 0.3 else None
+        rows.append((e, ts, i, v))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts", "rid", "v"])
+    # make (entity, ts) ties exercise the tiebreak path
+    pdf.loc[5, ["entity", "ts"]] = pdf.loc[4, ["entity", "ts"]]
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_pit_backfill_matches_pandas_ffill_shift(spark):
+    sdf, pdf = _mk_events(spark)
+    got = (
+        pit_backfill(sdf, "entity", "ts", ["v"], strict=True, tiebreak=["rid"])
+        .orderBy("rid")
+        .toPandas()
+    )
+    pdf = pdf.sort_values(["entity", "ts", "rid"], kind="mergesort")
+    # strictly-earlier ffill == shift(1) then ffill of the shifted series
+    exp = pdf.assign(
+        prev=pdf.groupby("entity")["v"].transform(lambda s: s.shift(1).ffill())
+    )
+    exp["v_filled"] = exp["v"].combine_first(exp["prev"])
+    exp = exp.sort_values("rid")
+    assert np.allclose(
+        got["v_filled"].to_numpy(dtype=float),
+        exp["v_filled"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+def test_pit_backfill_zero_leakage_under_future_shuffle(spark):
+    """Filled values must not change if all strictly-future rows change."""
+    sdf, pdf = _mk_events(spark)
+    poisoned = sdf.withColumn(
+        "v", F.when(F.col("rid") >= 300, F.lit(999999.0)).otherwise(F.col("v"))
+    )
+    # rid >= 300 rows also have later ts? Not guaranteed — instead poison by ts.
+    cutoff = dt.datetime(2024, 1, 15)
+    poisoned = sdf.withColumn(
+        "v", F.when(F.col("ts") >= F.lit(cutoff), F.lit(999999.0)).otherwise(F.col("v"))
+    )
+    a = (
+        pit_backfill(sdf, "entity", "ts", ["v"], tiebreak=["rid"])
+        .where(F.col("ts") < F.lit(cutoff))
+        .orderBy("rid")
+        .toPandas()
+    )
+    b = (
+        pit_backfill(poisoned, "entity", "ts", ["v"], tiebreak=["rid"])
+        .where(F.col("ts") < F.lit(cutoff))
+        .orderBy("rid")
+        .toPandas()
+    )
+    assert np.allclose(
+        a["v_filled"].to_numpy(float), b["v_filled"].to_numpy(float), equal_nan=True
+    )
+
+
+def test_lag_lead_matches_pandas(spark):
+    sdf, pdf = _mk_events(spark)
+    got = lag_lead(sdf, "entity", "ts", ["v"], tiebreak=["rid"]).orderBy("rid").toPandas()
+    pdf = pdf.sort_values(["entity", "ts", "rid"], kind="mergesort")
+    g = pdf.groupby("entity")["v"]
+    exp = pdf.assign(lag=g.shift(1), lead=g.shift(-1)).sort_values("rid")
+    assert np.allclose(got["v_lag_1"].to_numpy(float), exp["lag"].to_numpy(float), equal_nan=True)
+    assert np.allclose(got["v_lead_1"].to_numpy(float), exp["lead"].to_numpy(float), equal_nan=True)
+
+
+def test_sessionize_matches_pandas(spark):
+    sdf, pdf = _mk_events(spark)
+    gap = 86400.0
+    got = (
+        sessionize(sdf, "entity", "ts", gap_seconds=gap, tiebreak=["rid"])
+        .orderBy("rid")
+        .toPandas()
+    )
+    pdf = pdf.sort_values(["entity", "ts", "rid"], kind="mergesort")
+
+    def sess(s):
+        d = s.diff().dt.total_seconds()
+        return (d.isna() | (d > gap)).cumsum()
+
+    exp = pdf.assign(sess=pdf.groupby("entity")["ts"].transform(sess)).sort_values("rid")
+    assert (got["session_seq"].to_numpy() == exp["sess"].to_numpy()).all()
+
+
+def test_tumble_buckets(spark):
+    sdf, pdf = _mk_events(spark)
+    got = tumble(sdf, "ts", width_seconds=3600).orderBy("rid").toPandas()
+    exp = (pdf.sort_values("rid")["ts"].astype("int64") // 10**9 // 3600 * 3600).to_numpy()
+    assert (got["window_start"].to_numpy() == exp).all()
+
+
+def test_asof_join_window_vs_cogroup_merge_asof(spark):
+    left_sdf, left_pdf = _mk_events(spark, seed=11)
+    right_sdf, right_pdf = _mk_events(spark, seed=12)
+    right_sdf = right_sdf.withColumnRenamed("v", "rv").drop("rid")
+    for strict in (False, True):
+        got = (
+            asof_join(
+                left_sdf,
+                right_sdf.withColumnRenamed("rv", "v"),
+                on="ts", by="entity", value_cols=["v"], strict=strict,
+            )
+            .orderBy("rid")
+            .toPandas()
+        )
+        exp_parts = []
+        for e, lg in left_pdf.sort_values("ts", kind="mergesort").groupby("entity"):
+            rg = right_pdf[right_pdf.entity == e].sort_values("ts", kind="mergesort")
+            m = pd.merge_asof(
+                lg, rg[["ts", "v"]].rename(columns={"v": "v_asof"}),
+                on="ts", allow_exact_matches=not strict, direction="backward",
+            )
+            exp_parts.append(m)
+        exp = pd.concat(exp_parts).sort_values("rid")
+        assert np.allclose(
+            got["v_asof"].to_numpy(float), exp["v_asof"].to_numpy(float), equal_nan=True
+        )
+
+
+def test_asof_join_cogroup_parity(spark):
+    left_sdf, _ = _mk_events(spark, seed=21)
+    right_sdf, _ = _mk_events(spark, seed=22)
+    right_sdf = right_sdf.drop("rid")
+    a = (
+        asof_join(left_sdf, right_sdf, on="ts", by="entity", value_cols=["v"])
+        .orderBy("rid").toPandas()
+    )
+    b = (
+        asof_join_cogroup(left_sdf, right_sdf, on="ts", by="entity", value_cols=["v"])
+        .orderBy("rid").toPandas()
+    )
+    assert np.allclose(a["v_asof"].to_numpy(float), b["v_asof"].to_numpy(float), equal_nan=True)
+
+
+def test_interpolate_linear_matches_pandas_positional(spark):
+    """Parity with DataFrame.interpolate(axis=0, limit_direction='both') —
+    the reference's only ordered op (missing_imputation.py:1141)."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=(60, 2))
+    mask = rng.random((60, 2)) < 0.35
+    vals[mask] = np.nan
+    vals[0, 0] = np.nan  # leading-edge case
+    vals[-1, 1] = np.nan  # trailing-edge case
+    pdf = pd.DataFrame(vals, columns=["a", "b"])
+    pdf["rid"] = np.arange(60)
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        interpolate_linear(sdf, None, "rid", ["a", "b"])
+        .orderBy("rid")
+        .toPandas()
+    )
+    exp = pdf[["a", "b"]].interpolate(method="linear", axis=0, limit_direction="both")
+    for c in ["a", "b"]:
+        assert np.allclose(
+            got[c + "_interp"].to_numpy(float), exp[c].to_numpy(float), equal_nan=True
+        ), c
