@@ -1,0 +1,808 @@
+"""Fuzzy-clustering imputers, Spark-native.
+
+Each imputer follows the reference's fit/transform contract
+(/root/reference/ficaria/missing_imputation.py) re-architected for Spark:
+
+* **fit** — runs on the driver over the *bounded-by-design* fit set (complete
+  rows only, or an explicit ``fit_cap`` sample; the reference's own elbow
+  search caps at 10k rows, utils.py:394) and produces small state: k×d
+  centers, column means, clamps, trees. State is broadcast once per fit
+  ("centroid/neighbor state broadcast per fit").
+* **transform** — fully distributed. Map-only imputers (centroid / parameter /
+  interpolation) are ONE ``mapInPandas`` pass with vectorized NumPy over
+  Arrow batches: zero shuffles, scales linearly with input size. Grouped
+  imputers (FCKI, DT-refinement) shuffle once on the cluster/leaf key and run
+  the reference's sequential in-group algorithm inside
+  ``groupBy().applyInPandas`` — the group is the unit of sequential
+  semantics, cross-group parallelism replaces the reference's joblib.
+
+All transforms preserve every non-feature column (row ids, entity/ts keys,
+token arrays pass through untouched).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ficaria_spark.functions import fcm as fcmk
+from ficaria_spark.functions.mice import RegressionTree, iterative_impute
+from ficaria_spark.functions.validation import check_feature_frame, validate_params
+
+
+class NotFittedError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+class _ImputerBase:
+    """Common fit/transform plumbing for all imputers."""
+
+    def __init__(self, feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+        self.feature_cols = list(feature_cols) if feature_cols else None
+        self.fit_cap = fit_cap
+        self.feature_names_in_: list[str] | None = None
+
+    # -- helpers ------------------------------------------------------------
+    def _features(self, df: DataFrame) -> list[str]:
+        if self.feature_cols is not None:
+            return self.feature_cols
+        from pyspark.sql import types as T
+        num = (T.DoubleType, T.FloatType, T.IntegerType, T.LongType, T.ShortType)
+        return [f.name for f in df.schema.fields if isinstance(f.dataType, num)]
+
+    def _check_transform_cols(self, df: DataFrame) -> None:
+        if self.feature_names_in_ is None:
+            raise NotFittedError(f"{type(self).__name__} is not fitted yet")
+        missing = [c for c in self.feature_names_in_ if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"X.columns must match the columns seen during fit "
+                f"{self.feature_names_in_}, missing {missing} instead"
+            )
+
+    def _cast_features(self, df: DataFrame) -> DataFrame:
+        for c in self.feature_names_in_:
+            df = df.withColumn(c, F.col(c).cast("double"))
+        return df
+
+    def _collect_complete(self, df: DataFrame, cols: list[str]) -> np.ndarray:
+        """Driver-side complete-row matrix for fitting (bounded by fit_cap;
+        deterministic order via sort on the feature tuple)."""
+        comp = df.na.drop("any", subset=cols).select(*cols)
+        if self.fit_cap is not None:
+            comp = comp.limit(self.fit_cap)
+        pdf = comp.toPandas()
+        return pdf.to_numpy(dtype=np.float64)
+
+    def _collect_all(self, df: DataFrame, cols: list[str]) -> np.ndarray:
+        sub = df.select(*cols)
+        if self.fit_cap is not None:
+            sub = sub.limit(self.fit_cap)
+        return sub.toPandas().to_numpy(dtype=np.float64)
+
+    def _map_impute(self, df: DataFrame, kernel) -> DataFrame:
+        """One mapInPandas pass: kernel(np_matrix) -> imputed np_matrix.
+        Map-only — no shuffle; whole input streams through Arrow batches."""
+        cols = self.feature_names_in_
+        df = self._cast_features(df)
+        schema = df.schema
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
+                    out = kernel(M)
+                    for i, c in enumerate(cols):
+                        pdf[c] = out[:, i]
+                yield pdf
+
+        return df.mapInPandas(run, schema)
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)
+
+
+def _fill_from_nearest_center(M: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Vectorized: rows with NaNs take their missing cells from the masked-
+    distance-nearest centroid (reference transform loop, vectorized:
+    missing_imputation.py:156–163)."""
+    out = M.copy()
+    mis = np.isnan(M).any(axis=1)
+    if not mis.any():
+        return out
+    sub = M[mis]
+    d = fcmk.masked_dist(sub, centers)
+    nearest = centers[np.argmin(d, axis=1)]
+    out[mis] = np.where(np.isnan(sub), nearest, sub)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# I1/I2 — FCMCentroidImputer
+# ---------------------------------------------------------------------------
+
+class FCMCentroidImputer(_ImputerBase):
+    """Fill each incomplete row's gaps from its nearest FCM centroid.
+
+    Reference: missing_imputation.py:90–165. fit = FCM over complete rows
+    (driver, bounded); transform = map-only vectorized pandas kernel.
+    """
+
+    def __init__(self, n_clusters: int = 3, m: float = 2.0, max_iter: int = 100,
+                 tol: float = 1e-5, random_state: int | None = None,
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+        super().__init__(feature_cols, fit_cap)
+        validate_params({"n_clusters": n_clusters, "m": m, "max_iter": max_iter,
+                         "tol": tol, "random_state": random_state})
+        self.n_clusters, self.m = n_clusters, m
+        self.max_iter, self.tol, self.random_state = max_iter, tol, random_state
+
+    def fit(self, df: DataFrame):
+        cols = self._features(df)
+        stats = check_feature_frame(df, cols, require_complete_rows=True)
+        if self.n_clusters > stats["n_complete"]:
+            raise ValueError(
+                f"n_clusters must be ≤ the number of complete rows "
+                f"({stats['n_complete']}), got {self.n_clusters} instead")
+        X = self._collect_complete(df, cols)
+        self.centers_, self.memberships_ = fcmk.fuzzy_c_means(
+            X, self.n_clusters, m=self.m, max_iter=self.max_iter,
+            tol=self.tol, random_state=self.random_state)
+        self.feature_names_in_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self._check_transform_cols(df)
+        centers = self.centers_
+        return self._map_impute(df, lambda M: _fill_from_nearest_center(M, centers))
+
+
+# ---------------------------------------------------------------------------
+# I3/I4 — FCMParameterImputer
+# ---------------------------------------------------------------------------
+
+class FCMParameterImputer(FCMCentroidImputer):
+    """Fill gaps with the membership-weighted centroid combination
+    (reference: missing_imputation.py:241–321)."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self._check_transform_cols(df)
+        centers, m = self.centers_, self.m
+
+        def kernel(M: np.ndarray) -> np.ndarray:
+            out = M.copy()
+            mis = np.isnan(M).any(axis=1)
+            if not mis.any():
+                return out
+            sub = M[mis]
+            u = fcmk.memberships_from_dist(fcmk.masked_dist(sub, centers), m)
+            est = u @ centers  # (n_mis, d) weighted centroid mix
+            out[mis] = np.where(np.isnan(sub), est, sub)
+            return out
+
+        return self._map_impute(df, kernel)
+
+
+# ---------------------------------------------------------------------------
+# I5/I6 — FCMRoughParameterImputer
+# ---------------------------------------------------------------------------
+
+def _rough_kmeans(X: np.ndarray, u: np.ndarray, centers0: np.ndarray, *,
+                  wl: float, wb: float, tau: float, max_iter: int, tol: float):
+    """Rough k-means refinement of FCM output (semantics per reference
+    missing_imputation.py:547–657): lower/upper masks from argmax init; per
+    iteration weighted centroids (wl·lower + wb·boundary), re-assignment by
+    distance-gap ≤ tau, stop on center shift < tol. Returns per-cluster
+    (lower_mask, upper_mask, centers)."""
+    n, k = u.shape
+    centers = centers0.copy()
+    labels = u.argmax(axis=1)
+    lower = np.zeros((n, k), dtype=bool)
+    lower[np.arange(n), labels] = True
+    upper = lower.copy()
+
+    for _ in range(max_iter):
+        new_centers = centers.copy()
+        for j in range(k):
+            lo = lower[:, j]
+            if not lo.any():
+                continue
+            bd = upper[:, j] & ~lo
+            lo_mean = X[lo].mean(axis=0)
+            new_centers[j] = wl * lo_mean + wb * X[bd].mean(axis=0) if bd.any() else lo_mean
+        d = fcmk.pairwise_dist(X, new_centers)
+        win = d.argmin(axis=1)
+        gap_ok = (d - d[np.arange(n), win][:, None]) <= tau
+        new_upper = gap_ok
+        single = new_upper.sum(axis=1) == 1
+        new_lower = np.zeros_like(new_upper)
+        new_lower[np.where(single)[0], win[single]] = True
+        if np.linalg.norm(new_centers - centers) < tol:
+            break
+        centers, upper, lower = new_centers, new_upper, new_lower
+    return lower, upper, centers
+
+
+class FCMRoughParameterImputer(_ImputerBase):
+    """FCM + rough k-means: fill gaps with column means of the better-matching
+    (lower vs upper) approximation set of the nearest rough cluster.
+
+    Reference: missing_imputation.py:439–657. NOTE — the reference computes
+    the nearest-center distances for incomplete rows *without* a NaN mask
+    (missing_imputation.py:525), which makes every distance NaN and
+    degenerates the choice; this engine uses NaN-masked distances (the
+    documented intent). State kept small for broadcast: per-cluster/side
+    column means + member-row matrices from the bounded fit set.
+    """
+
+    def __init__(self, n_clusters: int = 3, m: float = 2.0, wl: float = 0.6,
+                 wb: float = 0.4, tau: float = 0.5, max_iter: int = 100,
+                 max_iter_rough_k: int = 100, tol: float = 1e-5,
+                 random_state: int | None = None,
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+        super().__init__(feature_cols, fit_cap)
+        validate_params({"n_clusters": n_clusters, "m": m, "max_iter": max_iter,
+                         "tol": tol, "random_state": random_state})
+        if not math.isclose(wl + wb, 1.0, rel_tol=1e-9):
+            raise ValueError(f"wl + wb must equal 1, got {wl + wb} instead")
+        self.n_clusters, self.m, self.wl, self.wb, self.tau = n_clusters, m, wl, wb, tau
+        self.max_iter, self.max_iter_rough_k = max_iter, max_iter_rough_k
+        self.tol, self.random_state = tol, random_state
+
+    def fit(self, df: DataFrame):
+        cols = self._features(df)
+        stats = check_feature_frame(df, cols, require_complete_rows=True)
+        if self.n_clusters > stats["n_complete"]:
+            raise ValueError(
+                f"n_clusters must be ≤ the number of complete rows "
+                f"({stats['n_complete']}), got {self.n_clusters} instead")
+        X = self._collect_complete(df, cols)
+        self.centers_, self.memberships_ = fcmk.fuzzy_c_means(
+            X, self.n_clusters, m=self.m, max_iter=self.max_iter,
+            tol=self.tol, random_state=self.random_state)
+        lower, upper, centers = _rough_kmeans(
+            X, self.memberships_, self.centers_, wl=self.wl, wb=self.wb,
+            tau=self.tau, max_iter=self.max_iter_rough_k, tol=self.tol)
+        self.clusters_ = [
+            (X[lower[:, j]], X[upper[:, j]], centers[j])
+            for j in range(self.n_clusters)
+        ]
+        self.feature_names_in_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self._check_transform_cols(df)
+        clusters = self.clusters_
+        centers = np.stack([c for _, _, c in clusters])
+
+        def kernel(M: np.ndarray) -> np.ndarray:
+            out = M.copy()
+            mis_rows = np.where(np.isnan(M).any(axis=1))[0]
+            if not len(mis_rows):
+                return out
+            sub = M[mis_rows]
+            nearest = np.argmin(fcmk.masked_dist(sub, centers), axis=1)
+            for j in np.unique(nearest):
+                lower, upper, _ = clusters[j]
+                rows = mis_rows[nearest == j]
+                block = M[rows]
+                if len(lower) == 0:
+                    chosen = [upper] * len(rows)
+                elif len(upper) == 0:
+                    chosen = [lower] * len(rows)
+                else:
+                    dl = fcmk.masked_dist(block, lower).mean(axis=1)
+                    du = fcmk.masked_dist(block, upper).mean(axis=1)
+                    chosen = [lower if a <= b else upper for a, b in zip(dl, du)]
+                for r, side in zip(rows, chosen):
+                    gaps = np.isnan(M[r])
+                    out[r, gaps] = side[:, gaps].mean(axis=0)
+            return out
+
+        return self._map_impute(df, kernel)
+
+
+# ---------------------------------------------------------------------------
+# I7–I10 — FCMKIterativeImputer (FCKI, the flagship)
+# ---------------------------------------------------------------------------
+
+def _ki_impute_group(
+    Xg: np.ndarray,
+    train: np.ndarray,
+    *,
+    means: np.ndarray,
+    seed: int | None,
+    max_k: int,
+    max_ii_iter: int,
+    vmin: float,
+    vmax: float,
+) -> np.ndarray:
+    """The KI kernel: sequential kNN + iterative-imputation within one FCM
+    cluster (reference semantics: missing_imputation.py:891–985). Runs inside
+    applyInPandas — one pandas/NumPy frame per cluster; sequential in-group
+    updates (later rows see earlier imputations) are preserved because the
+    group is one task. Fresh RandomState per group mirrors the reference's
+    joblib workers each receiving a pickled copy of the fit-time RNG.
+    """
+    out = Xg.copy()
+    mis_mask = np.isnan(Xg).any(axis=1)
+    if not mis_mask.any():
+        return out
+    order = np.argsort(np.isnan(Xg).sum(axis=1)[mis_mask], kind="mergesort")
+    mis_rows = np.where(mis_mask)[0][order]
+
+    n_in = len(Xg)
+    pool = np.vstack([Xg, train]) if len(train) else Xg.copy()
+    rng = np.random.RandomState(seed)
+
+    for r in mis_rows:
+        xi = pool[r].copy()
+        gaps = np.isnan(xi)
+        if gaps.all():
+            imputed = means.copy()
+        else:
+            # candidate pool: rows observed in every one of xi's missing cols
+            cand = ~np.isnan(pool[:, gaps]).any(axis=1)
+            cand[r] = False
+            P = pool[cand]
+            if len(P) == 0:
+                imputed = np.where(gaps, means, xi)
+            else:
+                # self-mask one random observed cell to tune k
+                d = xi.shape[0]
+                a_r = rng.randint(0, d)
+                while np.isnan(xi[a_r]):
+                    a_r = rng.randint(0, d)
+                held = xi[a_r]
+                probe = xi.copy()
+                probe[a_r] = np.nan
+                m = ~np.isnan(P) & ~np.isnan(probe)[None, :]
+                diffs = np.where(m, P - probe[None, :], 0.0)
+                dist = np.sqrt((diffs**2).sum(axis=1))
+                sorted_idx = np.argsort(dist, kind="mergesort")
+                kmax = min(len(P), max_k)
+                svals = P[sorted_idx, a_r]
+                errs = np.full(kmax, np.inf)
+                for ki in range(1, kmax + 1):
+                    v = svals[:ki]
+                    v = v[~np.isnan(v)]
+                    if v.size:
+                        errs[ki - 1] = abs(v.mean() - held)
+                best_k = int(np.argmin(errs)) + 1
+                nbrs = P[sorted_idx[:best_k]]
+                S = np.vstack([nbrs, xi])
+                S_f = iterative_impute(S, max_iter=max_ii_iter, min_value=vmin, max_value=vmax)
+                imputed = S_f[-1]
+        out[r] = imputed
+        pool[r] = imputed  # later rows in this cluster see this imputation
+    return out
+
+
+class FCMKIterativeImputer(_ImputerBase):
+    """FCKI: FCM clustering + per-cluster sequential kNN/iterative imputation.
+
+    Reference: missing_imputation.py:735–1024. Spark plan:
+      fit    — driver FCM over mean-filled bounded train set; broadcast
+               (centers, train rows, labels, means, clamps).
+      transform — ① map-only pandas UDF tags each row with its argmax-
+               membership cluster; ② ONE shuffle on cluster id;
+               ③ groupBy(cluster).applyInPandas runs the sequential KI kernel
+               per cluster (cross-cluster parallelism ≡ reference joblib).
+    Skewed cluster sizes are the skew risk here — AQE handles the join side;
+    for aggregation-side skew see operators/skew.py.
+    """
+
+    def __init__(self, n_clusters: int | None = None, m: float = 2.0,
+                 max_clusters: int = 10, max_k: int = 10, max_FCM_iter: int = 100,
+                 max_II_iter: int = 10, tol: float = 1e-5,
+                 random_state: int | None = None,
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+        super().__init__(feature_cols, fit_cap)
+        validate_params({"n_clusters": n_clusters, "m": m, "max_clusters": max_clusters,
+                         "tol": tol, "random_state": random_state})
+        self.n_clusters, self.m, self.max_clusters, self.max_k = n_clusters, m, max_clusters, max_k
+        self.max_FCM_iter, self.max_II_iter = max_FCM_iter, max_II_iter
+        self.tol, self.random_state = tol, random_state
+
+    def fit(self, df: DataFrame):
+        cols = self._features(df)
+        check_feature_frame(df, cols, no_nan_columns=True)
+        Xtr = self._collect_all(df, cols)
+        self.X_train_ = Xtr
+        self.means_ = np.nanmean(Xtr, axis=0)
+        filled = np.where(np.isnan(Xtr), self.means_[None, :], Xtr)
+        k = self.n_clusters
+        if k is None:
+            k = fcmk.find_optimal_clusters(
+                filled, max_clusters=self.max_clusters, random_state=self.random_state,
+                m=self.m, max_iter=self.max_FCM_iter, tol=self.tol)
+        if k > len(Xtr):
+            raise ValueError("n_clusters cannot be larger than the number of rows in X")
+        self.n_clusters_ = k
+        self.centers_, self.u_ = fcmk.fuzzy_c_means(
+            filled, k, m=self.m, max_iter=self.max_FCM_iter,
+            tol=self.tol, random_state=self.random_state)
+        self.labels_train_ = self.u_.argmax(axis=1)
+        self.min_value_ = float(np.nanmin(Xtr))
+        self.max_value_ = float(np.nanmax(Xtr))
+        self.feature_names_in_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self._check_transform_cols(df)
+        cols = self.feature_names_in_
+        df = self._cast_features(df)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast({
+            "centers": self.centers_, "m": self.m, "means": self.means_,
+            "train": self.X_train_, "labels": self.labels_train_,
+            "seed": self.random_state, "max_k": self.max_k,
+            "max_ii": self.max_II_iter,
+            "vmin": self.min_value_, "vmax": self.max_value_,
+        })
+
+        # ① tag rows with their cluster (map-only, Arrow-vectorized)
+        def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            st = bc.value
+            for pdf in batches:
+                if len(pdf):
+                    M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
+                    filled = np.where(np.isnan(M), st["means"][None, :], M)
+                    u = fcmk.fcm_predict(filled, st["centers"], st["m"])
+                    pdf["__cluster"] = u.argmax(axis=1).astype(np.int32)
+                else:
+                    pdf["__cluster"] = pd.Series([], dtype="int32")
+                yield pdf
+
+        from pyspark.sql import types as T
+        tagged_schema = T.StructType(
+            df.schema.fields + [T.StructField("__cluster", T.IntegerType())])
+        tagged = df.mapInPandas(tag, tagged_schema)
+
+        # ②③ one shuffle on cluster id; sequential KI kernel per cluster
+        def ki(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = bc.value
+            if not len(pdf):
+                return pdf
+            cl = int(pdf["__cluster"].iloc[0])
+            M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
+            train_cl = st["train"][st["labels"] == cl]
+            out = _ki_impute_group(
+                M, train_cl, means=st["means"], seed=st["seed"],
+                max_k=st["max_k"], max_ii_iter=st["max_ii"],
+                vmin=st["vmin"], vmax=st["vmax"])
+            for i, c in enumerate(cols):
+                pdf[c] = out[:, i]
+            return pdf
+
+        imputed = tagged.groupBy("__cluster").applyInPandas(ki, tagged_schema)
+        return imputed.drop("__cluster")
+
+
+# ---------------------------------------------------------------------------
+# I11/I12 — FCMInterpolationIterativeImputer (LI-IIFCM)
+# ---------------------------------------------------------------------------
+
+def _ifcm(data: np.ndarray, miss_mask: np.ndarray, *, n_clusters: int, m: float,
+          alpha: float, use_sigma: bool, max_iter: int, tol: float,
+          random_state: int | None):
+    """Intuitionistic FCM with per-iteration re-imputation of originally-
+    missing cells (reference: missing_imputation.py:1201–1268). Vectorized:
+    hesitation n = 1 − u − (1−u)^(1/α); u* = u + n drives the centroids; the
+    missing cells are refreshed to Σu·c/Σu each iteration until the mean
+    absolute update ≤ tol."""
+    X = data.copy()
+    n = X.shape[0]
+    rng = np.random.default_rng(random_state)
+    u = rng.random((n, n_clusters))
+    u /= u.sum(axis=1, keepdims=True)
+    mis_rows = miss_mask.any(axis=1)
+    sigma = None
+    centers = None
+
+    for _ in range(max_iter):
+        hes = 1.0 - u - (1.0 - u) ** (1.0 / alpha)
+        w = (u + hes) ** m
+        centers = (w.T @ X) / w.sum(axis=0)[:, None]
+        if use_sigma:
+            diff2 = (X[:, None, :] - centers[None, :, :]) ** 2
+            sigma = np.einsum("nk,nkd->kd", w, diff2) / w.sum(axis=0)[:, None]
+            dist = np.sqrt((diff2 / (sigma[None, :, :] + 1e-10)).sum(axis=2))
+        else:
+            dist = fcmk.pairwise_dist(X, centers)
+        dist = np.fmax(dist, 1e-10)
+        u = fcmk.memberships_from_dist(dist, m)
+
+        prior = X[mis_rows].copy()
+        est = (u @ centers) / u.sum(axis=1, keepdims=True)
+        X[miss_mask] = est[miss_mask]
+        if mis_rows.any():
+            if np.abs(X[mis_rows] - prior).mean() <= tol:
+                break
+        else:
+            break
+    return centers, sigma
+
+
+class FCMInterpolationIterativeImputer(_ImputerBase):
+    """LI-IIFCM: linear interpolation bootstrap + intuitionistic FCM refit;
+    transform fills gaps from the nearest (optionally σ-scaled) center.
+
+    Reference: missing_imputation.py:1079–1268. The fit-side interpolation is
+    positional in row order — at scale run :func:`operators.temporal.
+    interpolate_linear` per entity instead; here fit data is bounded.
+    ``order_col`` fixes the row order deterministically.
+    """
+
+    def __init__(self, n_clusters: int = 3, m: float = 2.0, alpha: float = 2.0,
+                 sigma: bool = False, max_iter: int = 100, tol: float = 1e-5,
+                 random_state: int | None = None, order_col: str | None = None,
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+        super().__init__(feature_cols, fit_cap)
+        validate_params({"n_clusters": n_clusters, "m": m, "max_iter": max_iter,
+                         "tol": tol, "random_state": random_state})
+        self.n_clusters, self.m, self.alpha, self.sigma = n_clusters, m, alpha, sigma
+        self.max_iter, self.tol, self.random_state = max_iter, tol, random_state
+        self.order_col = order_col
+
+    def fit(self, df: DataFrame):
+        cols = self._features(df)
+        check_feature_frame(df, cols, no_nan_columns=True)
+        sel = df.select(*([self.order_col] if self.order_col else []), *cols)
+        if self.order_col:
+            sel = sel.orderBy(self.order_col)
+        if self.fit_cap is not None:
+            sel = sel.limit(self.fit_cap)
+        pdf = sel.toPandas()[cols]
+        miss_mask = pdf.isna().to_numpy()
+        filled = pdf.interpolate(method="linear", axis=0, limit_direction="both")
+        self.centers_, self.sigma_ = _ifcm(
+            filled.to_numpy(dtype=np.float64), miss_mask,
+            n_clusters=self.n_clusters, m=self.m, alpha=self.alpha,
+            use_sigma=self.sigma, max_iter=self.max_iter, tol=self.tol,
+            random_state=self.random_state)
+        self.feature_names_in_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self._check_transform_cols(df)
+        centers, sigma = self.centers_, self.sigma_
+
+        def kernel(M: np.ndarray) -> np.ndarray:
+            out = M.copy()
+            mis = np.isnan(M).any(axis=1)
+            if not mis.any():
+                return out
+            sub = M[mis]
+            if sigma is not None:
+                obs = ~np.isnan(sub)
+                Xz = np.nan_to_num(sub, nan=0.0)
+                diff2 = ((Xz[:, None, :] - centers[None, :, :]) ** 2) * obs[:, None, :]
+                d = np.sqrt((diff2 / (sigma[None, :, :] + 1e-10)).sum(axis=2))
+            else:
+                d = fcmk.masked_dist(sub, centers)
+            nearest = centers[np.argmin(d, axis=1)]
+            out[mis] = np.where(np.isnan(sub), nearest, sub)
+            return out
+
+        return self._map_impute(df, kernel)
+
+
+# ---------------------------------------------------------------------------
+# I13–I17 — FCMDTIterativeImputer
+# ---------------------------------------------------------------------------
+
+def _fuzzy_silhouette(X: np.ndarray, U: np.ndarray, alpha: float) -> float:
+    """Fuzzy Silhouette Index over a leaf-local frame (reference:
+    missing_imputation.py:1515–1562). O(n²) confined to one leaf group."""
+    n, k = U.shape
+    if n < 2:
+        return 0.0
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    labels = U.argmax(axis=1)
+    s = np.zeros(n)
+    for i in range(n):
+        same = labels == labels[i]
+        a = D[i, same].sum() / (same.sum() - 1) if same.sum() > 1 else 0.0
+        bs = [D[i, labels == c].mean() for c in range(k) if c != labels[i] and (labels == c).any()]
+        b = min(bs) if bs else a
+        top = max(a, b)
+        s[i] = (b - a) / top if top > 0 else 0.0
+    srt = np.sort(U, axis=1)
+    w = (srt[:, -1] - (srt[:, -2] if k > 1 else 0.0)) ** alpha
+    return float((w * s).sum() / w.sum()) if w.sum() > 0 else 0.0
+
+
+def _pick_k_by_fsi(X: np.ndarray, *, max_clusters: int, m: float, alpha: float,
+                   max_iter: int, tol: float, random_state: int | None) -> int:
+    if len(X) < 2:
+        return 1
+    best_k, best_fsi = 1, -np.inf
+    for c in range(1, min(len(X), max_clusters) + 1):
+        _, u = fcmk.fuzzy_c_means(X, c, m=m, max_iter=max_iter, tol=tol,
+                                  random_state=random_state)
+        fsi = _fuzzy_silhouette(X, u, alpha)
+        if fsi > best_fsi:
+            best_k, best_fsi = c, fsi
+    return best_k
+
+
+class FCMDTIterativeImputer(_ImputerBase):
+    """Per-column decision trees for initial imputation + leaf-local FCM
+    refinement until the mean update over missing cells ≤ stop_threshold.
+
+    Reference: missing_imputation.py:1310–1698. Spark plan: trees fit on the
+    driver over bounded complete rows and broadcast; ① initial imputation is
+    ONE map-only pass (vectorized tree.predict per batch); ② each refinement
+    sweep groups incomplete rows by (column, leaf) — `groupBy(leaf).
+    applyInPandas` per column — and the driver loops sweeps until converged
+    (AV from a Spark aggregate). Leaf groups are the parallel unit.
+    """
+
+    def __init__(self, min_samples_leaf: int = 5, learning_rate: float = 0.3,
+                 stop_threshold: float = 1e-3, max_iter: int = 10,
+                 max_clusters: int = 5, m: float = 2.0, alpha: float = 1.0,
+                 max_FCM_iter: int = 100, tol: float = 1e-5,
+                 random_state: int | None = None,
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+        super().__init__(feature_cols, fit_cap)
+        validate_params({"m": m, "tol": tol, "random_state": random_state,
+                         "learning_rate": learning_rate})
+        self.min_samples_leaf, self.learning_rate = min_samples_leaf, learning_rate
+        self.stop_threshold, self.max_iter = stop_threshold, max_iter
+        self.max_clusters, self.m, self.alpha = max_clusters, m, alpha
+        self.max_FCM_iter, self.tol, self.random_state = max_FCM_iter, tol, random_state
+
+    def fit(self, df: DataFrame):
+        cols = self._features(df)
+        if len(cols) < 2:
+            raise ValueError(
+                f"X must contain at least 2 columns, got {len(cols)} column instead")
+        check_feature_frame(df, cols, require_complete_rows=True)
+        Xc = self._collect_complete(df, cols)
+        self.X_complete_ = Xc
+        self.means_ = Xc.mean(axis=0)
+        self.trees_: dict[int, RegressionTree] = {}
+        self.leaf_ids_: dict[int, np.ndarray] = {}
+        for j in range(len(cols)):
+            others = np.delete(Xc, j, axis=1)
+            t = RegressionTree(min_samples_leaf=self.min_samples_leaf).fit(others, Xc[:, j])
+            self.trees_[j] = t
+            self.leaf_ids_[j] = t.apply(others)
+        self.feature_names_in_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self._check_transform_cols(df)
+        cols = self.feature_names_in_
+        d = len(cols)
+        df = self._cast_features(df)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast({
+            "trees": self.trees_, "leaf_ids": self.leaf_ids_,
+            "X_complete": self.X_complete_, "means": self.means_,
+        })
+        from pyspark.sql import types as T
+
+        mis_pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            mis_pred = p if mis_pred is None else (mis_pred | p)
+        complete = df.where(~mis_pred)
+        incomplete = df.where(mis_pred)
+
+        # ① initial DT imputation + leaf tagging (map-only, vectorized)
+        leaf_cols = [f"__leaf_{j}" for j in range(d)]
+        mask_cols = [f"__was_nan_{j}" for j in range(d)]
+
+        def initial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            st = bc.value
+            for pdf in batches:
+                n = len(pdf)
+                M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan) if n else np.zeros((0, d))
+                leaves = np.full((n, d), -1, dtype=np.int64)
+                was_nan = np.isnan(M)
+                W = M.copy()
+                for j in range(d):
+                    rows = np.where(was_nan[:, j])[0]
+                    if not len(rows):
+                        continue
+                    feats = np.delete(W[rows], j, axis=1)
+                    other_means = np.delete(st["means"], j)
+                    feats = np.where(np.isnan(feats), other_means[None, :], feats)
+                    tree = st["trees"][j]
+                    W[rows, j] = tree.predict(feats)
+                    leaves[rows, j] = tree.apply(feats)
+                for i, c in enumerate(cols):
+                    pdf[c] = W[:, i]
+                    pdf[leaf_cols[i]] = leaves[:, i]
+                    pdf[mask_cols[i]] = was_nan[:, i]
+                yield pdf
+
+        tagged_schema = T.StructType(
+            df.schema.fields
+            + [T.StructField(lc, T.LongType()) for lc in leaf_cols]
+            + [T.StructField(mc, T.BooleanType()) for mc in mask_cols]
+            + [T.StructField("__rid", T.LongType())])
+
+        def initial_with_rid(batches):
+            # __rid assigned inside the same pass (partition-local counter
+            # offset by a wide stride per partition) so refinement deltas can
+            # be joined row-to-row
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            base = pid * 10_000_000_000
+            seen = 0
+            for pdf in initial(batches):
+                pdf["__rid"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+                seen += len(pdf)
+                yield pdf
+
+        work = incomplete.mapInPandas(initial_with_rid, tagged_schema).localCheckpoint()
+
+        # ② refinement sweeps: per column, group by leaf; driver convergence
+        lr = self.learning_rate
+        params = dict(max_clusters=self.max_clusters, m=self.m, alpha=self.alpha,
+                      max_iter=self.max_FCM_iter, tol=self.tol,
+                      random_state=self.random_state)
+
+        for _ in range(self.max_iter):
+            av_num, av_den = 0.0, 0
+            for j in range(d):
+                jcol, jleaf, jmask = cols[j], leaf_cols[j], mask_cols[j]
+
+                def make_refine(j: int, jleaf: str, jmask: str):
+                    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+                        st = bc.value
+                        leaf = int(pdf[jleaf].iloc[0])
+                        if leaf < 0 or not pdf[jmask].any():
+                            return pdf
+                        comp = st["X_complete"][st["leaf_ids"][j] == leaf]
+                        M = pdf[cols].to_numpy(dtype=np.float64)
+                        stacked = np.vstack([comp, M]) if len(comp) else M
+                        if len(stacked) < 2:
+                            return pdf
+                        k = _pick_k_by_fsi(stacked, **params)
+                        centers, u = fcmk.fuzzy_c_means(
+                            stacked, k, m=params["m"], max_iter=params["max_iter"],
+                            tol=params["tol"], random_state=params["random_state"])
+                        pred = u[len(comp):] @ centers[:, j]
+                        cur = M[:, j]
+                        upd = np.where(pdf[jmask].to_numpy(), cur + lr * (pred - cur), cur)
+                        pdf[cols[j]] = upd
+                        return pdf
+
+                    return refine
+
+                refine = make_refine(j, jleaf, jmask)
+
+                new_work = (
+                    work.groupBy(jleaf).applyInPandas(refine, tagged_schema)
+                ).localCheckpoint()
+                # AV for this column: mean |new − old| over the refreshed cells
+                stats = (
+                    new_work.select("__rid", F.col(jcol).alias("__new"), jmask)
+                    .join(work.select("__rid", F.col(jcol).alias("__old")), "__rid")
+                    .where(F.col(jmask))
+                    .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))).alias("s"),
+                         F.count("*").alias("c"))
+                    .collect()[0]
+                )
+                av_num += float(stats["s"] or 0.0)
+                av_den += int(stats["c"])
+                work = new_work
+            if av_den == 0 or av_num / av_den <= self.stop_threshold:
+                break
+
+        out = work.drop(*leaf_cols, *mask_cols, "__rid")
+        return complete.unionByName(out)

@@ -307,3 +307,101 @@ def q_tokens_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(tokens, cast(0 as bigint), (a, t) -> a + t)").alias("tok_sum"),
         "source",
     )
+
+
+# ---------------------------------------------------------------------------
+# Imputation surface (SURVEY §2.1 I1–I17). The FCM-family fits are iterative
+# and not SQL-expressible — those queries get rows-only driver checks; their
+# value correctness is covered by the differential pytest oracles in
+# tests/test_impute.py. Mean imputation IS SQL-expressible and anchors the
+# imputation path in the exact-match gate.
+# ---------------------------------------------------------------------------
+
+# deterministic masked feature matrix over `part`: 4 numeric features with
+# NULLs injected on arithmetic masks (engine-portable)
+_PART_MATRIX_SQL = """
+SELECT p_partkey AS row_id,
+       CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_retailprice END AS f0,
+       CASE WHEN p_partkey % 11 = 3 THEN NULL ELSE cast(p_size AS DOUBLE) END AS f1,
+       cast(length(p_name) AS DOUBLE) AS f2,
+       cast(p_partkey % 97 AS DOUBLE) AS f3
+FROM part
+"""
+
+_IMPUTE_FEATS = ["f0", "f1", "f2", "f3"]
+
+
+def _part_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = datagen.load(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("p_retailprice")).alias("f0"),
+        F.when(F.col("p_partkey") % 11 == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("p_size").cast("double")).alias("f1"),
+        F.length("p_name").cast("double").alias("f2"),
+        (F.col("p_partkey") % 97).cast("double").alias("f3"),
+    )
+
+
+@register(
+    "impute_mean",
+    oracle=f"""WITH m AS ({_PART_MATRIX_SQL}),
+stats AS (
+  SELECT cast(sum(cast(f0 AS DECIMAL(18,4))) AS DOUBLE) / count(f0) AS m0,
+         cast(sum(cast(f1 AS DECIMAL(18,4))) AS DOUBLE) / count(f1) AS m1
+  FROM m
+)
+SELECT row_id,
+       round(coalesce(f0, m0), 6) AS f0_filled,
+       round(coalesce(f1, m1), 6) AS f1_filled
+FROM m, stats
+""",
+)
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _part_matrix(spark, sf_dir)
+    stats = m.agg(
+        (F.sum(F.col("f0").cast("decimal(18,4)")).cast("double") / F.count("f0")).alias("m0"),
+        (F.sum(F.col("f1").cast("decimal(18,4)")).cast("double") / F.count("f1")).alias("m1"),
+    )
+    return m.crossJoin(F.broadcast(stats)).select(
+        "row_id",
+        F.round(F.coalesce("f0", "m0"), 6).alias("f0_filled"),
+        F.round(F.coalesce("f1", "m1"), 6).alias("f1_filled"),
+    )
+
+
+def _impute_query(make_imputer):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        m = _part_matrix(spark, sf_dir)
+        imp = make_imputer()
+        out = imp.fit(m).transform(m)
+        return out.select(
+            "row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS]
+        )
+    return run
+
+
+def _register_imputers():
+    from ficaria_spark.operators.impute import (
+        FCMCentroidImputer,
+        FCMInterpolationIterativeImputer,
+        FCMKIterativeImputer,
+        FCMParameterImputer,
+        FCMRoughParameterImputer,
+    )
+
+    QUERIES["impute_fcm_centroid"] = _impute_query(
+        lambda: FCMCentroidImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+    QUERIES["impute_fcm_parameter"] = _impute_query(
+        lambda: FCMParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+    QUERIES["impute_fcm_rough"] = _impute_query(
+        lambda: FCMRoughParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+    QUERIES["impute_fcki"] = _impute_query(
+        lambda: FCMKIterativeImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+    QUERIES["impute_iifcm"] = _impute_query(
+        lambda: FCMInterpolationIterativeImputer(
+            n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS, order_col="row_id"))
+
+
+_register_imputers()
