@@ -405,3 +405,50 @@ def _register_imputers():
 
 
 _register_imputers()
+
+
+# ---------------------------------------------------------------------------
+# Feature-selection surface (SURVEY §2.1 F1–F17). Greedy fits are iterative →
+# rows-only driver checks; engine-equivalence (driver vs distributed scoring)
+# is covered by tests/test_select.py.
+# ---------------------------------------------------------------------------
+
+_SEL_FEATS = ["f_bal", "f_namelen", "f_nation", "f_mod"]
+
+
+def _customer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = datagen.load(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("row_id"),
+        F.col("c_acctbal").alias("f_bal"),
+        F.length("c_name").cast("double").alias("f_namelen"),
+        F.col("c_nationkey").cast("double").alias("f_nation"),
+        (F.col("c_custkey") % 7).cast("double").alias("f_mod"),
+        F.col("c_mktsegment").alias("label"),
+    )
+
+
+@register("select_figfs")
+def q_select_figfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.select import FuzzyGranularitySelector
+
+    m = _customer_matrix(spark, sf_dir)
+    sel = FuzzyGranularitySelector(k=2, feature_cols=_SEL_FEATS, fit_cap=2000)
+    sel.fit(m, "label")
+    ranked = sel.S_
+    return m.select(
+        "row_id", *[F.round(F.col(c), 6).alias(c) for c in ranked[:2]]
+    )
+
+
+@register("select_wfrs")
+def q_select_wfrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.select import WeightedFuzzyRoughSelector
+
+    m = _customer_matrix(spark, sf_dir)
+    sel = WeightedFuzzyRoughSelector(n_features=2, k=5, feature_cols=_SEL_FEATS, fit_cap=1000)
+    sel.fit(m, "label")
+    picked = [sel.feature_names_in_[i] for i in sel.feature_sequence_[:2]]
+    return m.select(
+        "row_id", *[F.round(F.col(c), 6).alias(c) for c in picked]
+    )
