@@ -1,0 +1,264 @@
+"""Deduplication for web-scale corpora: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale shapes (the whole point of each design):
+* exact        — one hash-groupBy; map-side partial agg; no data movement of
+                 texts (only 16-byte digests shuffle).
+* ngram-jaccard — set-similarity join: explode distinct shingles → self-join
+                 on shingle → count common → filter. Shuffles (doc, shingle)
+                 pairs; prune super-common shingles (stopword shingles) to
+                 kill the quadratic hot-key blowup.
+* minhash+LSH  — signatures via one projection (all hash functions evaluated
+                 per shingle in one pass), banding → candidates join only
+                 within buckets: near-linear. Verification re-computes exact
+                 Jaccard on candidates only.
+* simhash      — 64-bit signature per doc via one mapInPandas (vectorized bit
+                 ops); near-dups = equal band keys on rotations.
+* embedding    — cosine over LSH/bucketed candidates (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ficaria_spark.operators.text import word_tokens
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                *, normalize: bool = True) -> DataFrame:
+    """Keep one representative (min id) per exact (normalized) text.
+
+    Returns the group table (content_hash, keep_id, n_copies); join back on
+    keep_id for the surviving rows. Digest-only shuffle.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    return (
+        df.select(F.md5(t).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set-similarity join)
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             *, k: int = 3) -> DataFrame:
+    """Distinct word k-gram digests per doc: (id, shingle)."""
+    words = word_tokens(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        *, k: int = 3, threshold: float = 0.8,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    ``max_shingle_freq`` drops shingles shared by more than that many docs
+    before the join — the standard guard against quadratic blowup on
+    boilerplate shingles at corpus scale.
+    """
+    sh = shingles(df, text_col, id_col, k=k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       *, k: int = 3, num_hashes: int = 64, seed: int = 13) -> DataFrame:
+    """(id, signature array<long>) — min over shingles of (a·x + b) mod p per
+    hash function. Computed in one mapInPandas pass (vectorized NumPy over the
+    shingle×hash matrix per batch); no shuffle."""
+    a_params, b_params = _hash_params(num_hashes, seed)
+    words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words_expr)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    # base shingle value: first 15 hex chars of md5 → int (engine-portable)
+    sh = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(words_expr, i + 1, k), " ")), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh"))
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for arr in pdf["sh"]:
+                x = np.asarray(arr, dtype=np.int64)
+                if len(x) == 0:
+                    sigs.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
+                    continue
+                # (h, s) matrix in uint64 to avoid overflow; mod Mersenne prime
+                hv = (x[None, :].astype(np.uint64) * a_params[:, None].astype(np.uint64)
+                      + b_params[:, None].astype(np.uint64)) % np.uint64(_MERSENNE)
+                sigs.append(hv.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"id": pdf["id"], "signature": sigs})
+
+    return base.mapInPandas(sign, "id long, signature array<long>")
+
+
+def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+    Join happens ONLY within buckets → near-linear in corpus size."""
+    n_hashes_col = F.size("signature")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.slice("signature", bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        *, k: int = 3, num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 13) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates → estimated
+    Jaccard (signature agreement) filter ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed)
+    cands = minhash_lsh_candidates(sigs, bands=bands)
+    s1 = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    s2 = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda p, q: (p == q).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        cands.join(s1, "id_a").join(s2, "id_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            *, seed: int = 29) -> DataFrame:
+    """64-bit SimHash per doc (vectorized bit-count over word hashes)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_tokens(F.col(text_col)), lambda w: F.xxhash64(F.lower(w), F.lit(seed))
+        ).alias("hashes"),
+    )
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, arr in enumerate(pdf["hashes"]):
+                h = np.asarray(arr, dtype=np.uint64)
+                if len(h) == 0:
+                    continue
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+                votes = (2 * bits - 1).sum(axis=0)
+                out[i] = np.int64(np.uint64(((votes > 0).astype(np.uint64)
+                                             << np.arange(64, dtype=np.uint64)).sum()))
+            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+    return base.mapInPandas(sig, "id long, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       *, max_hamming: int = 3, seed: int = 29) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the 4-band
+    pigeonhole trick (any pair within distance 3 shares at least one of 4
+    16-bit bands) — candidates join only inside band buckets."""
+    sigs = simhash(df, text_col, id_col, seed=seed)
+    bands = 4
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

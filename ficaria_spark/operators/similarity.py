@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: blocked cross join (broadcast
+  the smaller side) + JVM-side cosine via zip_with/aggregate + per-query
+  window top-k. The correctness baseline.
+* :func:`lsh_ann_topk` — random-hyperplane LSH: one map pass signs each
+  vector against broadcast hyperplanes → bucket key; candidates join only
+  within buckets (multi-probe via several tables); exact cosine re-rank.
+  Near-linear — the 100 TB path.
+* :func:`ivf_ann_topk` — IVF: coarse centroids (driver k-means on a bounded
+  sample, broadcast), rows assigned to nearest centroid; queries probe the
+  ``nprobe`` nearest centroid lists only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos_expr(a: str, b: str) -> Column:
+    """JVM-side cosine between two array<double> columns (no Python)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.transform(vec_col, lambda x: x.cast("double")))
+
+
+def cosine_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                k: int = 5, queries: DataFrame | None = None,
+                broadcast_right: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors for every query row (defaults to self-join
+    excluding self-matches). Returns (query_id, neighbor_id, cosine, rank)."""
+    base = _as_double(df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")), "nvec")
+    q = queries if queries is not None else df
+    q = _as_double(q.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec")
+    right = F.broadcast(base) if broadcast_right else base
+    pairs = q.join(right, F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid", "nid", _cos_expr("qvec", "nvec").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
+                "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_tables, n_planes, dim))
+
+
+def lsh_bucketize(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int, n_planes: int = 8, n_tables: int = 4,
+                  seed: int = 7) -> DataFrame:
+    """(id, table, bucket) — sign pattern against random hyperplanes, one
+    mapInPandas pass, hyperplanes broadcast."""
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    pows = np.power(2, np.arange(n_planes), dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["vec"].to_numpy())
+            frames = []
+            for t in range(P.shape[0]):
+                signs = (M @ P[t].T) > 0  # (n, n_planes)
+                bucket = (signs.astype(np.int64) * pows[None, :]).sum(axis=1)
+                frames.append(pd.DataFrame({
+                    "id": pdf["id"].to_numpy(), "table": t, "bucket": bucket}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(run, "id long, table int, bucket long")
+
+
+def lsh_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int, k: int = 5, n_planes: int = 8, n_tables: int = 4,
+                 seed: int = 7) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ANY table; exact
+    cosine re-rank on candidates only."""
+    buckets = lsh_bucketize(df, id_col=id_col, vec_col=vec_col, dim=dim,
+                            n_planes=n_planes, n_tables=n_tables, seed=seed)
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cands = (
+        x.join(y, (F.col("x.table") == F.col("y.table"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.id") != F.col("y.id")))
+        .select(F.col("x.id").alias("qid"), F.col("y.id").alias("nid"))
+        .distinct()
+    )
+    vecs = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    qv = vecs.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    nv = vecs.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"))
+    scored = cands.join(qv, "qid").join(nv, "nid").select(
+        "qid", "nid", _cos_expr("qvec", "nvec").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
+                "cosine", "rank")
+    )
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for j in range(len(centers)):
+            pts = X[lab == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return centers
+
+
+def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+               n_lists: int = 16, sample_cap: int = 20_000, iters: int = 10,
+               seed: int = 11) -> tuple[DataFrame, np.ndarray]:
+    """Train coarse centroids on a driver-side sample (bounded), broadcast,
+    and tag every row with its inverted-list id. Returns (tagged_df, centroids)."""
+    base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    sample = np.stack(base.limit(sample_cap).toPandas()["vec"].to_numpy())
+    centers = _kmeans(sample, n_lists, iters, seed)
+    bc = df.sparkSession.sparkContext.broadcast(centers)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["vec"].to_numpy())
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            pdf["list_id"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    tagged = base.mapInPandas(run, "id long, vec array<double>, list_id int")
+    return tagged, centers
+
+
+def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                 k: int = 5, n_lists: int = 16, nprobe: int = 2,
+                 seed: int = 11) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    inverted lists; exact cosine within the probed lists."""
+    tagged, centers = ivf_assign(df, id_col=id_col, vec_col=vec_col,
+                                 n_lists=n_lists, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(centers)
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        npb = nprobe
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["vec"].to_numpy())
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1, kind="mergesort")[:, :npb]
+            rows = []
+            for i in range(len(pdf)):
+                for li in near[i]:
+                    rows.append((pdf["id"].iloc[i], pdf["vec"].iloc[i], int(li)))
+            yield pd.DataFrame(rows, columns=["qid", "qvec", "probe_list"])
+
+    q = tagged.mapInPandas(probes, "qid long, qvec array<double>, probe_list int")
+    n = tagged.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"),
+                      F.col("list_id").alias("probe_list"))
+    scored = (
+        q.join(n, "probe_list")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _cos_expr("qvec", "nvec").alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
+                "cosine", "rank")
+    )

@@ -1,0 +1,125 @@
+"""Text analysis for large-scale training-data pipelines: tokenization &
+token counting, quality scoring, language identification, document
+fingerprinting. All pure ``pyspark.sql`` column expressions (JVM-side,
+whole-stage codegen) — no Python in the hot path.
+
+These run over the ``documents`` table shape (doc_id, text, lang, source) and
+compose with the dedup/similarity operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GPT-ish pre-tokenizer regex: contractions, letter runs, digit runs, other
+# symbols — a practical BPE front-end approximation that stays JVM-side.
+BPE_SPLIT_REGEX = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "que"],
+}
+
+
+def token_count(text: str | Column, *, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' (fast split) or 'bpe' (regex pre-tokenizer)."""
+    col = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        # split on runs of whitespace; trim first so no empty edge tokens
+        return F.size(F.split(F.trim(col), r"\s+"))
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_REGEX), 0))
+
+
+def word_tokens(text: str | Column) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-scoring features: n_chars, n_words, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio, digit ratio.
+    One projection — no shuffle."""
+    t = F.col(text_col)
+    words = word_tokens(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            (n_chars - (n_words - F.lit(1))) / n_words,  # chars net of separators
+        )
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")) / n_chars,
+        )
+        .withColumn("stopword_ratio", n_stop / n_words)
+        .withColumn(
+            "upper_ratio", F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars
+        )
+        .withColumn(
+            "digit_ratio", F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  *, min_words: int = 5, max_mean_word_len: float = 12.0) -> DataFrame:
+    """Composite [0,1] quality score + keep flag (heuristics in the spirit of
+    C4/Gopher text-quality filters)."""
+    q = quality_features(df, text_col)
+    score = (
+        F.when(F.col("n_words") < min_words, 0.0).otherwise(1.0)
+        * F.when(F.col("mean_word_len") > max_mean_word_len, 0.5).otherwise(1.0)
+        * (1.0 - F.least(F.col("punct_ratio") * 2.0, F.lit(1.0)) * 0.5)
+        * (0.5 + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.5)
+    )
+    return q.withColumn("quality_score", score).withColumn(
+        "quality_keep", score >= 0.5
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID. Per candidate language: count stopword
+    hits among the document's words; argmax wins ('und' = undetermined when
+    no profile hits). Pure column expressions — scales as a projection."""
+    words = F.transform(word_tokens(F.col(text_col)), lambda w: F.lower(w))
+    scores = []
+    for lang, stops in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "doc_fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the case/whitespace-
+    normalized text. Engine-portable (same value in any SQL engine)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text", *, window: int = 5,
+                         out_col: str = "shingle_fps") -> DataFrame:
+    """Winnowing-style per-document shingle fingerprints: md5 of each
+    ``window``-word shingle (array column). Basis for containment / partial-
+    overlap detection; pure expressions via sequence+transform."""
+    words = word_tokens(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
+    shingle = lambda i: F.md5(F.array_join(F.slice(words, i + 1, window), " "))  # noqa: E731
+    return df.withColumn(out_col, F.transform(idx, shingle))

@@ -452,3 +452,234 @@ def q_select_wfrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "row_id", *[F.round(F.col(c), 6).alias(c) for c in picked]
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline surface: dedup / similarity / text analysis.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.dedup import exact_dedup
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+                          i -> md5(array_to_string(w[i:i+2], ' '))))) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.4)
+
+
+@register("dedup_minhash_lsh")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    out = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@register("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.dedup import simhash_near_pairs
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=10)
+
+
+_COS_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (s, v) -> s + v)"
+)
+
+
+@register(
+    "knn_cosine",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_COS_DOT_SQL.format(a='q.vec', b='n.vec')}
+           / (sqrt({_COS_DOT_SQL.format(a='q.vec', b='q.vec')})
+              * sqrt({_COS_DOT_SQL.format(a='n.vec', b='n.vec')})) AS cosine
+  FROM v q JOIN v n ON q.vec_id != n.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.similarity import cosine_topk
+
+    emb = datagen.load(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, k=3)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register("ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.similarity import lsh_ann_topk
+
+    emb = datagen.load(spark, sf_dir, "embeddings")
+    out = lsh_ann_topk(emb, dim=64, k=3, n_planes=8, n_tables=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register("ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.similarity import ivf_ann_topk
+
+    emb = datagen.load(spark, sf_dir, "embeddings")
+    out = ivf_ann_topk(emb, k=3, n_lists=8, nprobe=2)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "text_stats",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+       round((n_chars - (len(words) - 1)) / cast(len(words) AS DOUBLE), 6) AS mean_word_len,
+       round(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that'], lower(x))))
+             / cast(len(words) AS DOUBLE), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) / cast(n_chars AS DOUBLE), 6) AS digit_ratio
+FROM w
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.text import quality_features, token_count
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_words"),
+        token_count("text", mode="bpe").alias("n_bpe_tokens"),
+        F.round(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        F.round(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
+        F.round(F.col("digit_ratio"), 6).alias("digit_ratio"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS doc_fingerprint
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.text import fingerprint
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "doc_fingerprint")
+
+
+@register(
+    "lang_profile",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS words
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS hits_en,
+    len(list_filter(words, x -> list_contains(['der','die','das','und','nicht','ist','ich'], x))) AS hits_de,
+    len(list_filter(words, x -> list_contains(['le','la','les','et','est','une','que'], x))) AS hits_fr,
+    len(list_filter(words, x -> list_contains(['el','la','los','y','es','una','que'], x))) AS hits_es
+  FROM w
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+  CASE
+    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+    WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+    WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+    WHEN hits_es > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_pred
+FROM hits
+""",
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.text import _STOPWORDS, word_tokens
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    words = F.transform(word_tokens(F.col("text")), lambda x: F.lower(x))
+    hit_cols = {}
+    for lang, stops in _STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        hit_cols[lang] = F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+    he, hd, hf, hs = (hit_cols[lang] for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((he >= hd) & (he >= hf) & (he >= hs) & (he > 0), "en")
+        .when((hd >= hf) & (hd >= hs) & (hd > 0), "de")
+        .when((hf >= hs) & (hf > 0), "fr")
+        .when(hs > 0, "es")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        he.alias("hits_en"), hd.alias("hits_de"),
+        hf.alias("hits_fr"), hs.alias("hits_es"),
+        pred.alias("lang_pred"),
+    )

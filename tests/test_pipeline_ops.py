@@ -1,0 +1,211 @@
+"""Training-data pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ficaria_spark.operators import dedup as dd
+from ficaria_spark.operators import similarity as sim
+from ficaria_spark.operators import text as tx
+from ficaria_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    resize_images,
+    synthetic_image_table,
+)
+
+
+def _docs(spark, n=60, seed=4, dup_every=10):
+    rng = np.random.default_rng(seed)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts = []
+    for i in range(n):
+        words = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(30)]
+        texts.append(" ".join(words))
+    # plant exact dups and near-dups
+    for i in range(dup_every, n, dup_every):
+        texts[i] = texts[i - dup_every]          # exact dup
+    near = texts[1].split()
+    near[5] = "OMEGA"
+    texts[2] = " ".join(near)                     # near dup of doc 1
+    pdf = pd.DataFrame({"doc_id": range(n), "text": texts})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    sdf, pdf = _docs(spark)
+    groups = dd.exact_dedup(sdf).toPandas()
+    assert groups["n_copies"].sum() == len(pdf)
+    # the planted chain texts[10]=texts[0], texts[20]=texts[10], … collapses
+    # into ONE group of 6 copies
+    assert groups["n_copies"].max() >= 6
+    # representative = min id per group
+    dup = groups[groups.n_copies > 1].iloc[0]
+    same = pdf[pdf.text.str.lower().str.replace(r"\s+", " ", regex=True)
+               == pdf.text[dup.keep_id].lower()]
+    assert dup.keep_id == same.doc_id.min()
+
+
+def test_ngram_jaccard_matches_python_oracle(spark):
+    sdf, pdf = _docs(spark, n=30)
+    got = dd.ngram_jaccard_pairs(sdf, k=3, threshold=0.5).toPandas()
+
+    def sh(t, k=3):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1))}
+
+    exp = []
+    for i in range(len(pdf)):
+        for j in range(i + 1, len(pdf)):
+            a, b = sh(pdf.text[i]), sh(pdf.text[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                exp.append((i, j, round(jac, 9)))
+    got_pairs = sorted(zip(got.id_a, got.id_b, got.jaccard.round(9)))
+    assert got_pairs == sorted(exp)
+
+
+def test_minhash_lsh_recalls_exact_near_dups(spark):
+    sdf, pdf = _docs(spark, n=40)
+    exact = dd.ngram_jaccard_pairs(sdf, k=3, threshold=0.8).toPandas()
+    approx = dd.minhash_dedup_pairs(sdf, k=3, num_hashes=64, bands=16, threshold=0.6).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    assert exact_pairs, "test should plant high-jaccard pairs"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9
+
+
+def test_simhash_near_pairs_catch_near_dup(spark):
+    sdf, pdf = _docs(spark, n=30)
+    pairs = dd.simhash_near_pairs(sdf, max_hamming=8).toPandas()
+    assert ((pairs.id_a == 1) & (pairs.id_b == 2)).any() or (
+        (pairs.id_a == 2) & (pairs.id_b == 1)).any()
+    # exact dups have hamming 0
+    zero = pairs[pairs.hamming == 0]
+    assert len(zero) >= 1
+
+
+def _embeddings(spark, n=80, dim=16, seed=3, clustered=False):
+    rng = np.random.default_rng(seed)
+    if clustered:
+        centers = rng.normal(size=(8, dim)) * 3
+        M = centers[rng.integers(0, 8, n)] + rng.normal(size=(n, dim)) * 0.3
+    else:
+        M = rng.normal(size=(n, dim))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(M)})
+    return spark.createDataFrame(pdf), M
+
+
+def test_cosine_topk_matches_numpy(spark):
+    sdf, M = _embeddings(spark)
+    got = sim.cosine_topk(sdf, k=3).toPandas().sort_values(["query_id", "rank"])
+    S = M @ M.T
+    np.fill_diagonal(S, -np.inf)
+    for qid in range(len(M)):
+        order = np.argsort(-S[qid], kind="mergesort")[:3]
+        mine = got[got.query_id == qid].neighbor_id.to_numpy()
+        assert set(mine) == set(order), qid
+
+
+def test_lsh_ann_recall(spark):
+    sdf, M = _embeddings(spark, n=100, clustered=True)
+    exact = sim.cosine_topk(sdf, k=3).toPandas()
+    approx = sim.lsh_ann_topk(sdf, dim=16, k=3, n_planes=6, n_tables=6).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(e & a) / len(e) >= 0.6  # probabilistic structure, generous bound
+
+
+def test_ivf_ann_recall(spark):
+    sdf, M = _embeddings(spark, n=100, clustered=True)
+    exact = sim.cosine_topk(sdf, k=3).toPandas()
+    approx = sim.ivf_ann_topk(sdf, k=3, n_lists=8, nprobe=3).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_token_count_and_quality(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the quick brown fox, it jumps!", "a b"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.select(
+        "doc_id",
+        tx.token_count("text").alias("ws"),
+        tx.token_count("text", mode="bpe").alias("bpe"),
+    ).orderBy("doc_id").toPandas()
+    assert got.ws.tolist() == [6, 2]
+    assert got.bpe.tolist() == [8, 2]  # fox , it jumps ! split separately
+
+    q = tx.quality_score(sdf).orderBy("doc_id").toPandas()
+    assert q.quality_keep.tolist() == [True, False]  # second doc too short
+    assert ((q.quality_score >= 0) & (q.quality_score <= 1)).all()
+
+
+def test_lang_id(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "the cat sat on the mat and it is happy",
+            "der hund ist nicht da und ich bin hier",
+            "zzz qqq xxx",
+        ],
+    })
+    got = tx.lang_id(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert got.lang_pred.tolist() == ["en", "de", "und"]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["Hello   World", "hello world"],
+    })
+    got = tx.fingerprint(spark.createDataFrame(pdf)).toPandas()
+    assert got.doc_fingerprint.nunique() == 1
+
+
+def test_rolling_fingerprints_shape(spark):
+    pdf = pd.DataFrame({"doc_id": [0], "text": [" ".join(f"w{i}" for i in range(12))]})
+    got = tx.rolling_fingerprints(spark.createDataFrame(pdf), window=5).toPandas()
+    assert len(got.shingle_fps[0]) == 12 - 5 + 1
+
+
+def test_image_features_and_resize(spark):
+    tbl = synthetic_image_table(spark, n=12)
+    feats = image_features(tbl).toPandas()
+    assert len(feats) == 12
+    assert all(len(v) == 3 for v in feats.chan_mean)
+    assert all(abs(sum(h) - 1.0) < 1e-9 for h in feats.lum_hist)
+    assert "payload" not in feats.columns  # binary never leaves the stage
+
+    resized = resize_images(tbl, target=(8, 8)).toPandas()
+    assert all(m["width"] == 8 and m["height"] == 8 for m in resized.meta)
+    assert all(len(p) == 8 * 8 * 3 for p in resized.payload)
+
+    # determinism of the fake codec
+    f2 = image_features(tbl).toPandas()
+    assert np.allclose(np.stack(feats.chan_mean), np.stack(f2.chan_mean))
+
+
+def test_frame_sample_explodes(spark):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = [(0, bytearray(b"vid0"), 25), (1, bytearray(b"vid1"), 5)]
+    schema = T.StructType([
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ])
+    sdf = spark.createDataFrame(rows, schema)
+    got = frame_sample(sdf, every=10).toPandas()
+    assert len(got[got.item_id == 0]) == 3  # frames 0, 10, 20
+    assert len(got[got.item_id == 1]) == 1
