@@ -18,12 +18,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: leakage-free point-in-time backfill over the
-    entity×timestamp feature grid at sf0.001, with the tokenized-sequence
-    table as-of joined in (tokens pass through untouched)."""
+    """Flagship pipeline at sf0.001: leakage-free point-in-time backfill over
+    the entity×timestamp feature grid, residual fill from broadcast state,
+    tokenized sequences joined through untouched (token passthrough)."""
     from ficaria_spark.queries import QUERIES
 
-    return QUERIES["pit_backfill"](spark, "/root/testdata/sf0.001")
+    return QUERIES["pipeline_flagship"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

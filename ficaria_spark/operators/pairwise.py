@@ -49,16 +49,23 @@ def block_pair_sums(
         .withColumn("__b", blocks)
         .withColumn("__p", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
     )
+    # The right side is usually the SAME DataFrame (self-pairs). Reusing its
+    # attribute ids confuses Catalyst's column pruning under cogroup (the
+    # right payload columns get pruned to nothing at the scan) — alias every
+    # right column to a fresh name and restore the names worker-side.
     right = (
-        right_df.select(*sel)
-        .withColumn("__p", blocks)
+        right_df.select(*[F.col(c).alias(f"__r_{c}") for c in sel])
+        .withColumn("__p", F.pmod(F.xxhash64(F.col(f"__r_{row_id}")), F.lit(nb)))
         .withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
     )
 
-    probe = kernel(
-        df.select(*sel).limit(0).toPandas(), df.select(*sel).limit(0).toPandas()
-    )
-    names = list(out_names) if out_names is not None else sorted(probe.keys())
+    if out_names is not None:
+        names = list(out_names)
+    else:  # discover output names with an empty-frame probe
+        probe = kernel(
+            df.select(*sel).limit(0).toPandas(), df.select(*sel).limit(0).toPandas()
+        )
+        names = sorted(probe.keys())
     out_schema = f"{row_id} long, " + ", ".join(f"`{n}` double" for n in names)
 
     def run(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -67,6 +74,7 @@ def block_pair_sums(
         if not len(rpdf):
             parts = {n: np.zeros(len(lpdf)) for n in names}
         else:
+            rpdf = rpdf.rename(columns={f"__r_{c}": c for c in sel})
             parts = kernel(lpdf, rpdf)
         return pd.DataFrame({row_id: lpdf[row_id].to_numpy(), **{n: parts[n] for n in names}})
 

@@ -683,3 +683,102 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         hf.alias("hits_fr"), hs.alias("hits_es"),
         pred.alias("lang_pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP pipeline (the north rule end-to-end): tokenized sequences +
+# entity×timestamp grid → strictly-earlier point-in-time backfill (zero
+# temporal leakage) → residual fill from broadcast fit state → tokens pass
+# through bit-for-bit.
+#
+# Exact-oracle variant uses the global-mean residual fill (SQL-expressible);
+# the FCM-state variant (rows-only) broadcasts fitted centroids instead.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_flagship",
+    oracle=f"""{_GRID_CTE},
+filled AS (
+  SELECT event_id, entity_id, ts, f_value,
+         coalesce(
+           f_value,
+           last_value(f_value IGNORE NULLS) OVER (
+             PARTITION BY entity_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ) AS f_bf
+  FROM grid
+),
+gmean AS (
+  SELECT cast(sum(cast(f_value AS DECIMAL(18,4))) AS DOUBLE) / count(f_value) AS m
+  FROM grid
+),
+toks AS (
+  SELECT cast(doc_id AS VARCHAR) AS doc_id,
+         doc_id AS doc_key,
+         array_to_string({datagen.token_sql()}, ',') AS tokens_str,
+         cast(len({datagen.token_sql()}) AS INT) AS n_tok,
+         source
+  FROM documents
+),
+ndocs AS (SELECT count(*) AS n FROM documents)
+SELECT f.event_id, f.entity_id, epoch_us(f.ts) AS ts_us,
+       round(coalesce(f.f_bf, g.m), 6) AS f_value_filled,
+       CASE WHEN f.f_value IS NULL THEN 1 ELSE 0 END AS was_missing,
+       t.tokens_str, t.n_tok, t.source
+FROM filled f, gmean g, ndocs d
+JOIN toks t ON t.doc_key = f.entity_id % d.n
+""",
+)
+def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = datagen.feature_grid(spark, sf_dir)
+    # ① leakage-free backfill (strict frame — structurally cannot see future)
+    bf = pit_backfill(grid, "entity_id", "ts", ["f_value"], strict=True,
+                      tiebreak=["event_id"])
+    # ② residual fill: exact decimal global mean, broadcast
+    gmean = grid.agg(
+        (F.sum(F.col("f_value").cast("decimal(18,4)")).cast("double")
+         / F.count("f_value")).alias("m"))
+    # ③ attach tokenized sequences (deterministic doc mapping); tokens pass
+    #    through untouched — per-row token-array equality is checked in tests
+    toks = datagen.tokenized_sequences(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_key"),
+        F.array_join(F.expr("transform(tokens, t -> cast(t as string))"), ",").alias("tokens_str"),
+        "n_tok", "source",
+    )
+    n_docs = toks.count()
+    out = (
+        bf.crossJoin(F.broadcast(gmean))
+        .withColumn("doc_key", F.col("entity_id") % F.lit(n_docs))
+        .join(F.broadcast(toks), "doc_key")
+    )
+    return out.select(
+        "event_id", "entity_id", _us("ts").alias("ts_us"),
+        F.round(F.coalesce("f_value_filled", "m"), 6).alias("f_value_filled"),
+        F.when(F.col("f_value").isNull(), 1).otherwise(0).alias("was_missing"),
+        "tokens_str", "n_tok", "source",
+    )
+
+
+@register("pipeline_flagship_fcm")
+def q_pipeline_flagship_fcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FCM-state variant: residual gaps (no earlier observation) filled from
+    broadcast fuzzy-c-means centroids fit on observed feature vectors
+    (rows-only check; value parity vs NumPy covered in tests)."""
+    from ficaria_spark.operators.impute import FCMParameterImputer
+
+    grid = datagen.feature_grid(spark, sf_dir)
+    bf = pit_backfill(grid, "entity_id", "ts", ["f_value"], strict=True,
+                      tiebreak=["event_id"])
+    # feature matrix for the fit: backfilled value + entity/type stats
+    feat = bf.select(
+        "event_id", "entity_id", "ts",
+        F.col("f_value_filled").alias("g0"),
+        (F.col("entity_id") % 17).cast("double").alias("g1"),
+    )
+    imp = FCMParameterImputer(n_clusters=3, random_state=42,
+                              feature_cols=["g0", "g1"])
+    out = imp.fit(feat).transform(feat)
+    return out.select(
+        "event_id", "entity_id", _us("ts").alias("ts_us"),
+        F.round("g0", 6).alias("f_value_filled"),
+    )

@@ -20,6 +20,14 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Pin BLAS to one thread per Python worker BEFORE any worker forks: Spark
+# already runs one worker per core, so per-process BLAS pools oversubscribe
+# the box catastrophically (measured 4.5x slowdown at 32 workers). Kernels
+# are batch-vectorized; single-threaded BLAS per worker is the right shape.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

@@ -1,0 +1,115 @@
+"""Lineage manifests + checkpoint resume + streaming sessionize."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ficaria_spark.plans.lineage import (
+    StageMetrics,
+    read_manifests,
+    read_output,
+    run_with_manifests,
+)
+from ficaria_spark.streaming.sessionize import streaming_sessionize, streaming_tumble
+
+
+def _events(spark, n=500, seed=2):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "entity": rng.integers(0, 40, n),
+        "v": rng.normal(size=n).round(4),
+        "rid": np.arange(n),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_manifest_run_completes_and_audits(spark, tmp_path):
+    sdf, pdf = _events(spark)
+    out = str(tmp_path / "run1")
+    summary = run_with_manifests(
+        sdf, entity_col="entity", out_dir=out, n_buckets=4,
+        transform=lambda d: d.withColumn("v2", F.col("v") * 2),
+    )
+    assert summary["failed"] == []
+    assert summary["rows"] == len(pdf)
+    manifests = read_manifests(out)
+    assert len(manifests) == 4
+    assert all(m["status"] == "ok" for m in manifests.values())
+    assert sum(m["row_count"] for m in manifests.values()) == len(pdf)
+    back = read_output(spark, out)
+    assert back.count() == len(pdf)
+    assert np.isclose(
+        back.agg(F.sum("v2")).collect()[0][0], 2 * pdf.v.sum(), atol=1e-6)
+
+
+def test_resume_recomputes_only_failed_buckets(spark, tmp_path):
+    sdf, pdf = _events(spark, seed=5)
+    out = str(tmp_path / "run2")
+    # first run: bucket 2 crashes
+    s1 = run_with_manifests(
+        sdf, entity_col="entity", out_dir=out, n_buckets=4,
+        fail_on=lambda b: b == 2,
+    )
+    assert s1["failed"] == [2]
+    assert sorted(s1["completed"]) == [0, 1, 3]
+    # resume: only bucket 2 is recomputed
+    s2 = run_with_manifests(sdf, entity_col="entity", out_dir=out, n_buckets=4)
+    assert s2["completed"] == [2]
+    assert s2["skipped"] == [0, 1, 3]
+    assert read_output(spark, out).count() == len(pdf)
+    # idempotent third run does nothing
+    s3 = run_with_manifests(sdf, entity_col="entity", out_dir=out, n_buckets=4)
+    assert s3["completed"] == [] and sorted(s3["skipped"]) == [0, 1, 2, 3]
+
+
+def test_stage_metrics(spark):
+    sdf, pdf = _events(spark)
+    m = StageMetrics()
+    m.measure("scan", sdf)
+    assert m.stages["scan"]["rows"] == len(pdf)
+    assert m.stages["scan"]["rows_per_sec"] > 0
+
+
+def test_session_window_semantics_match_batch_sessionize(spark):
+    """session_window (streaming op, run in batch mode here) must agree with
+    the batch sessionize on session counts."""
+    import datetime as dt
+
+    from ficaria_spark.operators.temporal import sessionize
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(8)
+    t = base
+    for i in range(200):
+        t = t + dt.timedelta(seconds=int(rng.integers(1, 4000)))
+        rows.append((int(rng.integers(0, 5)), t, float(i)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    sdf = spark.createDataFrame(pdf)
+
+    stream_style = streaming_sessionize(sdf, gap="30 minutes").toPandas()
+    batch = sessionize(sdf, "user_id", "ts", gap_seconds=1800.0)
+    batch_sessions = (
+        batch.groupBy("user_id", "session_seq").count().toPandas()
+    )
+    # same number of sessions per user
+    a = stream_style.groupby("user_id").size().sort_index()
+    b = batch_sessions.groupby("user_id").size().sort_index()
+    assert (a == b).all()
+    # same total events
+    assert stream_style.n_events.sum() == 200
+
+
+def test_streaming_tumble_batch_semantics(spark):
+    sdf, _ = _events(spark)
+    import datetime as dt
+
+    ev = sdf.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("rid") * 100)
+    )
+    got = streaming_tumble(ev, width="1 hour", value_col="v").toPandas()
+    assert got.n_events.sum() == 500
+    # 500 events * 100s = ~50000s ≈ 14 hourly buckets
+    assert 13 <= len(got) <= 15
