@@ -132,19 +132,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
     base = df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh"))
 
+    au = a_params.astype(np.uint64)
+    bu = b_params.astype(np.uint64)
+
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for arr in pdf["sh"]:
-                x = np.asarray(arr, dtype=np.int64)
-                if len(x) == 0:
-                    sigs.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
-                    continue
-                # (h, s) matrix in uint64 to avoid overflow; mod Mersenne prime
-                hv = (x[None, :].astype(np.uint64) * a_params[:, None].astype(np.uint64)
-                      + b_params[:, None].astype(np.uint64)) % np.uint64(_MERSENNE)
-                sigs.append(hv.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"id": pdf["id"], "signature": sigs})
+            if not len(pdf):
+                yield pd.DataFrame({"id": pdf.get("id", []), "signature": []})
+                continue
+            # fully vectorized over the batch: flatten every doc's shingles,
+            # hash the unique flat array once, then segment-min per doc
+            # (np.minimum.reduceat) — no per-row Python.
+            lens = pdf["sh"].map(len).to_numpy()
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["sh"] if len(a)]
+            ) if lens.sum() else np.empty(0, dtype=np.int64)
+            sigs = np.full((len(pdf), num_hashes), _MERSENNE, dtype=np.uint64)
+            if len(flat):
+                hv = (flat[:, None].astype(np.uint64) * au[None, :] + bu[None, :]) \
+                     % np.uint64(_MERSENNE)  # (total_shingles, num_hashes)
+                nz = lens > 0
+                starts = np.zeros(nz.sum(), dtype=np.int64)
+                starts[1:] = np.cumsum(lens[nz])[:-1]
+                sigs[nz] = np.minimum.reduceat(hv, starts, axis=0)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "signature": list(sigs.astype(np.int64))})
 
     return base.mapInPandas(sign, "id long, signature array<long>")
 
@@ -214,17 +226,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).alias("hashes"),
     )
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
-            for i, arr in enumerate(pdf["hashes"]):
-                h = np.asarray(arr, dtype=np.uint64)
-                if len(h) == 0:
-                    continue
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-                votes = (2 * bits - 1).sum(axis=0)
-                out[i] = np.int64(np.uint64(((votes > 0).astype(np.uint64)
-                                             << np.arange(64, dtype=np.uint64)).sum()))
+            if len(pdf):
+                # vectorized: flatten all word hashes, expand to a bit matrix
+                # once, segment-sum the votes per doc (np.add.reduceat)
+                lens = pdf["hashes"].map(len).to_numpy()
+                nz = lens > 0
+                if lens.sum():
+                    flat = np.concatenate(
+                        [np.asarray(a, dtype=np.int64) for a in pdf["hashes"] if len(a)]
+                    ).view(np.uint64)
+                    bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                    starts = np.zeros(nz.sum(), dtype=np.int64)
+                    starts[1:] = np.cumsum(lens[nz])[:-1]
+                    ones = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+                    votes = 2 * ones - lens[nz][:, None]
+                    packed = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                        axis=1, dtype=np.uint64)
+                    out[nz] = packed.astype(np.int64)
             yield pd.DataFrame({"id": pdf["id"], "simhash": out})
 
     return base.mapInPandas(sig, "id long, simhash long")

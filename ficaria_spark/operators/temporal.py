@@ -221,25 +221,41 @@ def asof_join_cogroup(
     (``allow_exact_matches=not strict``). Prefer :func:`asof_join` at scale —
     this one materializes each entity's rows as one pandas frame.
     """
+    import numpy as np
     import pandas as pd
 
     out_schema = left.schema.simpleString()[7:-1] + "," + ",".join(
         f"{c}{suffix}:{right.schema[c].dataType.simpleString()}" for c in value_cols
     )
+    out_cols = [f"{c}{suffix}" for c in value_cols]
+    # fresh attribute names on the right side: a shared-lineage right frame
+    # gets its payload columns pruned away under cogroup otherwise (same
+    # Catalyst behavior worked around in operators/pairwise.py)
+    r_sel = right.select(
+        F.col(by).alias("__r_by"), F.col(on).alias("__r_on"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=[*lpdf.columns, *out_cols])
         lpdf = lpdf.sort_values(on, kind="mergesort")
-        rpdf = rpdf.sort_values(on, kind="mergesort")[[on, *value_cols]].rename(
-            columns={c: f"{c}{suffix}" for c in value_cols}
-        )
-        merged = pd.merge_asof(
+        if not len(rpdf):
+            out = lpdf.copy()
+            for c in out_cols:
+                out[c] = np.nan
+            return out
+        rpdf = rpdf.sort_values("__r_on", kind="mergesort")[
+            ["__r_on", *[f"__r_{c}" for c in value_cols]]
+        ].rename(columns={"__r_on": on,
+                          **{f"__r_{c}": f"{c}{suffix}" for c in value_cols}})
+        return pd.merge_asof(
             lpdf, rpdf, on=on, allow_exact_matches=not strict, direction="backward"
         )
-        return merged
 
     return (
         left.groupBy(by)
-        .cogroup(right.groupBy(by))
+        .cogroup(r_sel.groupBy("__r_by"))
         .applyInPandas(merge, schema=out_schema)
     )
 

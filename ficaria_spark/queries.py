@@ -782,3 +782,70 @@ def q_pipeline_flagship_fcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "entity_id", _us("ts").alias("ts_us"),
         F.round("g0", 6).alias("f_value_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining coverage: skew-safe aggregation (exact oracle — salting must not
+# change results), cogroup merge_asof variant, DT imputer.
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_agg",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(cast(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed `source` key — must be
+    bit-identical to the plain groupBy (the oracle)."""
+    from ficaria_spark.operators.skew import salted_agg
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    out = salted_agg(
+        docs, ["source"],
+        {"n_docs": ("count", "doc_id"),
+         "total_chars": ("sum", "n_chars"),
+         "max_chars": ("max", "n_chars")},
+        n_salts=8,
+    )
+    return out.select("source", "n_docs",
+                      F.col("total_chars").cast("long").alias("total_chars"),
+                      "max_chars")
+
+
+@register(
+    "asof_join_cogroup",
+    oracle="""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas merge_asof variant (allow_exact_matches=True ⇔ DuckDB >=)."""
+    from ficaria_spark.operators.temporal import asof_join_cogroup
+
+    ev = datagen.load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join_cogroup(
+        clicks, views, on="ts", by="user_id", value_cols=["value"], strict=False)
+    return joined.select("event_id", "user_id", _us("ts").alias("ts_us"),
+                         F.col("value_asof"))
+
+
+@register("impute_dt")
+def q_impute_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.impute import FCMDTIterativeImputer
+
+    m = _part_matrix(spark, sf_dir)
+    imp = FCMDTIterativeImputer(random_state=42, feature_cols=_IMPUTE_FEATS,
+                                max_iter=1, max_clusters=3)
+    out = imp.fit(m).transform(m)
+    return out.select("row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS])

@@ -1,0 +1,95 @@
+"""Physical-plan audits: the engine must produce the plans we designed for —
+filters pushed to the scan, small dims broadcast, chained windows sharing one
+exchange, no Python in JVM-only operators."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ficaria_spark import datagen
+from ficaria_spark.operators.temporal import lag_lead, pit_backfill, sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    li = datagen.load(spark, SF, "lineitem")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan)
+    # column pruning: scan reads only the 3 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "l_orderkey:bigint", "l_quantity:double"}
+
+
+def test_dimension_join_is_broadcast(spark):
+    from ficaria_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["top_customers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chained_windows_share_one_exchange(spark):
+    """pit_backfill → lag_lead → sessionize over the same (entity, ts)
+    ordering must sort/shuffle ONCE: one Exchange, one Sort."""
+    grid = datagen.feature_grid(spark, SF)
+    chained = sessionize(
+        lag_lead(
+            pit_backfill(grid, "entity_id", "ts", ["f_value"], tiebreak=["event_id"]),
+            "entity_id", "ts", ["f_value_filled"], tiebreak=["event_id"],
+        ),
+        "entity_id", "ts", gap_seconds=1800.0, tiebreak=["event_id"],
+    )
+    plan = _plan(chained)
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_sort = len(re.findall(r"\bSort \[", plan))
+    assert n_exchange == 1, plan
+    assert n_sort == 1, plan
+
+
+def test_temporal_kernel_has_no_python(spark):
+    """The temporal kernel is pure JVM: no Python/Arrow eval nodes."""
+    grid = datagen.feature_grid(spark, SF)
+    plan = _plan(pit_backfill(grid, "entity_id", "ts", ["f_value"]))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    from ficaria_spark.operators.temporal import asof_join
+
+    ev = datagen.load(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(clicks, views, on="ts", by="user_id", value_cols=["value"])
+    plan = _plan(joined)
+    # union-window as-of: exactly one hash exchange (the window), no join node
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    from ficaria_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q1"](spark, SF)
+    df.collect()  # AQE: codegen spans appear in the FINAL plan
+    plan = _plan(df)
+    # codegen stages render as "*(n) Operator" in the executed-plan string;
+    # both partial and final aggregates must be inside codegen spans
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
