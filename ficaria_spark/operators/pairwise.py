@@ -24,6 +24,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pair_groups(df: DataFrame, right_df: DataFrame | None, row_id: str,
+                 cols: Sequence[str], nb: int):
+    """Shared blocked-pair plumbing: one tagged UNION grouped by the
+    (block, partner) key — task (x, y) receives left-block-x rows
+    (``__side``=0) together with right-block-y rows (``__side``=1) in a
+    single frame.
+
+    Deliberately avoids ``cogroup``: a self-cogroup whose two sides share a
+    file-scan subtree makes Catalyst's plan deduplication mis-resolve one
+    side's expressions (observed over parquet sources as pruned payload
+    columns, corrupted hash keys, and silently wrong group contents —
+    createDataFrame inputs never trigger it, so only source-backed data was
+    affected). A union of two branches of the same scan has no such hazard.
+    """
+    right_df = right_df if right_df is not None else df
+    sel = [row_id, *cols]
+    blocks = F.pmod(F.xxhash64(F.col(row_id)), F.lit(nb))
+    partner = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+
+    left = (
+        df.select(*sel)
+        .withColumn("__b", blocks)
+        .withColumn("__p", partner)
+        .withColumn("__side", F.lit(0))
+    )
+    right = (
+        right_df.select(*sel)
+        .withColumn("__p", blocks)
+        .withColumn("__b", partner)
+        .withColumn("__side", F.lit(1))
+    )
+    return left.unionByName(right).groupBy("__b", "__p"), sel
+
+
+def block_pair_apply(
+    df: DataFrame,
+    row_id: str,
+    cols: Sequence[str],
+    kernel: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+    *,
+    nb: int = 8,
+    right_df: DataFrame | None = None,
+) -> DataFrame:
+    """Generic blocked all-pairs map: ``kernel(left_block, right_block)``
+    returns an arbitrary output frame (e.g. block-local top-k candidates)."""
+    grouped, sel = _pair_groups(df, right_df, row_id, cols, nb)
+    out_cols = [c.strip().split()[0].strip("`") for c in out_schema.split(",")]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["__side"] == 0]
+        rpdf = pdf[pdf["__side"] == 1]
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({c: [] for c in out_cols})
+        return kernel(lpdf, rpdf)
+
+    return grouped.applyInPandas(run, out_schema)
+
+
 def block_pair_sums(
     df: DataFrame,
     row_id: str,
@@ -40,24 +99,7 @@ def block_pair_sums(
     against this right block}. Result: DataFrame(row_id, *names) with the
     partials summed over all right blocks.
     """
-    right_df = right_df if right_df is not None else df
-    sel = [row_id, *cols]
-    blocks = F.pmod(F.xxhash64(F.col(row_id)), F.lit(nb))
-
-    left = (
-        df.select(*sel)
-        .withColumn("__b", blocks)
-        .withColumn("__p", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
-    )
-    # The right side is usually the SAME DataFrame (self-pairs). Reusing its
-    # attribute ids confuses Catalyst's column pruning under cogroup (the
-    # right payload columns get pruned to nothing at the scan) — alias every
-    # right column to a fresh name and restore the names worker-side.
-    right = (
-        right_df.select(*[F.col(c).alias(f"__r_{c}") for c in sel])
-        .withColumn("__p", F.pmod(F.xxhash64(F.col(f"__r_{row_id}")), F.lit(nb)))
-        .withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
-    )
+    grouped, sel = _pair_groups(df, right_df, row_id, cols, nb)
 
     if out_names is not None:
         names = list(out_names)
@@ -68,19 +110,16 @@ def block_pair_sums(
         names = sorted(probe.keys())
     out_schema = f"{row_id} long, " + ", ".join(f"`{n}` double" for n in names)
 
-    def run(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["__side"] == 0]
+        rpdf = pdf[pdf["__side"] == 1]
         if not len(lpdf):
             return pd.DataFrame({row_id: [], **{n: [] for n in names}})
         if not len(rpdf):
             parts = {n: np.zeros(len(lpdf)) for n in names}
         else:
-            rpdf = rpdf.rename(columns={f"__r_{c}": c for c in sel})
             parts = kernel(lpdf, rpdf)
         return pd.DataFrame({row_id: lpdf[row_id].to_numpy(), **{n: parts[n] for n in names}})
 
-    partials = (
-        left.groupBy("__b", "__p")
-        .cogroup(right.groupBy("__b", "__p"))
-        .applyInPandas(run, schema=out_schema)
-    )
+    partials = grouped.applyInPandas(run, schema=out_schema)
     return partials.groupBy(row_id).agg(*[F.sum(n).alias(n) for n in names])

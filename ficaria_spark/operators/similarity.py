@@ -34,25 +34,78 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.transform(vec_col, lambda x: x.cast("double")))
 
 
+def _unit(df: DataFrame, vec_col: str) -> DataFrame:
+    """Normalize once per ROW (not per pair): cosine then needs a single dot
+    fold per pair instead of three — 3× less per-pair work."""
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, v: s + v * v))
+    return df.withColumn(vec_col, F.transform(vec_col, lambda x: x / norm))
+
+
 def cosine_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
                 k: int = 5, queries: DataFrame | None = None,
                 broadcast_right: bool = True) -> DataFrame:
     """Exact top-k cosine neighbors for every query row (defaults to self-join
     excluding self-matches). Returns (query_id, neighbor_id, cosine, rank)."""
-    base = _as_double(df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")), "nvec")
+    base = _unit(_as_double(
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")), "nvec"), "nvec")
     q = queries if queries is not None else df
-    q = _as_double(q.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec")
+    q = _unit(_as_double(
+        q.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec"), "qvec")
     right = F.broadcast(base) if broadcast_right else base
     pairs = q.join(right, F.col("qid") != F.col("nid"))
-    scored = pairs.select(
-        "qid", "nid", _cos_expr("qvec", "nvec").alias("cosine")
-    )
+    dot = F.aggregate(F.zip_with("qvec", "nvec", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, v: s + v)
+    scored = pairs.select("qid", "nid", dot.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
                 "cosine", "rank")
+    )
+
+
+def cosine_topk_blocked(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = 5,
+                        nb: int = 8) -> DataFrame:
+    """Exact top-k via blocked NumPy matmul — the 100 TB path.
+
+    Left/right blocks cogroup pairwise (operators/pairwise scheme); each task
+    computes a dense (|L|, |R|) dot block with dgemm and emits only each left
+    row's block-local top-k; a window over the k·nb candidates per row picks
+    the global top-k. O(n·nb·k) shuffle, dense math in BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    from ficaria_spark.operators.pairwise import block_pair_apply
+
+    base = _unit(_as_double(
+        df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec")), "vec"), "vec")
+
+    def topk_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        L = np.stack(lpdf["vec"].to_numpy())
+        R = np.stack(rpdf["vec"].to_numpy())
+        S = L @ R.T
+        lids = lpdf["rid"].to_numpy()
+        rids = rpdf["rid"].to_numpy()
+        S[lids[:, None] == rids[None, :]] = -np.inf  # exclude self
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(lids, kk)
+        cols = rids[idx.ravel()]
+        vals = np.take_along_axis(S, idx, axis=1).ravel()
+        keep = np.isfinite(vals)
+        return pd.DataFrame({"query_id": rows[keep], "neighbor_id": cols[keep],
+                             "cosine": vals[keep]})
+
+    cands = block_pair_apply(
+        base, "rid", ["vec"], topk_block,
+        "query_id long, neighbor_id long, cosine double", nb=nb,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -535,15 +535,20 @@ _COS_DOT_SQL = (
 @register(
     "knn_cosine",
     oracle=f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS rv
   FROM embeddings
+),
+v AS (
+  -- normalize ONCE per row with the same expression shape as the engine
+  SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(
+           list_reduce(list_transform(rv, y -> y * y), (s, t) -> s + t))) AS vec
+  FROM raw
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         {_COS_DOT_SQL.format(a='q.vec', b='n.vec')}
-           / (sqrt({_COS_DOT_SQL.format(a='q.vec', b='q.vec')})
-              * sqrt({_COS_DOT_SQL.format(a='n.vec', b='n.vec')})) AS cosine
+         {_COS_DOT_SQL.format(a='q.vec', b='n.vec')} AS cosine
   FROM v q JOIN v n ON q.vec_id != n.vec_id
 ),
 ranked AS (
@@ -849,3 +854,15 @@ def q_impute_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_iter=1, max_clusters=3)
     out = imp.fit(m).transform(m)
     return out.select("row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS])
+
+
+@register("knn_cosine_blocked")
+def q_knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-dgemm exact top-k (the scale path; equality with the
+    expression-based knn_cosine is asserted in tests)."""
+    from ficaria_spark.operators.similarity import cosine_topk_blocked
+
+    emb = datagen.load(spark, sf_dir, "embeddings")
+    out = cosine_topk_blocked(emb, k=3, nb=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")

@@ -209,3 +209,48 @@ def test_frame_sample_explodes(spark):
     got = frame_sample(sdf, every=10).toPandas()
     assert len(got[got.item_id == 0]) == 3  # frames 0, 10, 20
     assert len(got[got.item_id == 1]) == 1
+
+
+def test_cosine_topk_blocked_matches_expression_path(spark):
+    sdf, M = _embeddings(spark, n=90)
+    a = sim.cosine_topk(sdf, k=4).toPandas().sort_values(["query_id", "rank"])
+    b = sim.cosine_topk_blocked(sdf, k=4, nb=4).toPandas().sort_values(["query_id", "rank"])
+    assert list(a.query_id) == list(b.query_id)
+    assert list(a.neighbor_id) == list(b.neighbor_id)
+    assert np.allclose(a.cosine.to_numpy(), b.cosine.to_numpy(), atol=1e-9)
+
+
+def test_blocked_pairwise_correct_over_parquet_source(spark, tmp_path):
+    """Regression: a self-pair whose sides share a FILE-SCAN subtree used to
+    come back silently wrong under cogroup (plan-dedup mis-resolution);
+    LocalRelation inputs never trigger it. The union-based pairing must give
+    exact sums and identical top-k over a parquet-backed frame."""
+    from ficaria_spark.operators.pairwise import block_pair_sums
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [rng.normal(size=8) for _ in range(200)],
+    })
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    src = spark.read.parquet(path)
+
+    raw = src.selectExpr("vec_id as rid", "vec_id", "embedding as vec", "embedding")
+    raw = src.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("vec"))
+
+    def kernel(l, r):
+        L = np.stack(l["vec"].to_numpy())
+        R = np.stack(r["vec"].to_numpy())
+        return {"s": (L @ R.T).sum(axis=1)}
+
+    got = (
+        block_pair_sums(raw, "rid", ["vec"], kernel, nb=8, out_names=["s"])
+        .orderBy("rid").toPandas()["s"].to_numpy()
+    )
+    M = np.stack(src.orderBy("vec_id").toPandas()["embedding"].to_numpy())
+    assert np.allclose(got, (M @ M.T).sum(axis=1))
+
+    a = sim.cosine_topk(src, k=3).toPandas()
+    b = sim.cosine_topk_blocked(src, k=3, nb=8).toPandas()
+    assert set(zip(a.query_id, a.neighbor_id)) == set(zip(b.query_id, b.neighbor_id))
