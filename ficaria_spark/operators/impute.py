@@ -75,16 +75,17 @@ class _ImputerBase:
         return df
 
     def _collect_complete(self, df: DataFrame, cols: list[str]) -> np.ndarray:
-        """Driver-side complete-row matrix for fitting (bounded by fit_cap;
-        deterministic order via sort on the feature tuple)."""
-        comp = df.na.drop("any", subset=cols).select(*cols)
+        """Driver-side complete-row matrix for fitting (bounded by fit_cap).
+        Collected in CANONICAL order (sorted by the feature tuple) so the
+        fitted state — and therefore every downstream transform — is
+        invariant to how the input happened to be partitioned."""
+        comp = df.na.drop("any", subset=cols).select(*cols).orderBy(*cols)
         if self.fit_cap is not None:
             comp = comp.limit(self.fit_cap)
-        pdf = comp.toPandas()
-        return pdf.to_numpy(dtype=np.float64)
+        return comp.toPandas().to_numpy(dtype=np.float64)
 
     def _collect_all(self, df: DataFrame, cols: list[str]) -> np.ndarray:
-        sub = df.select(*cols)
+        sub = df.select(*cols).orderBy(*cols)
         if self.fit_cap is not None:
             sub = sub.limit(self.fit_cap)
         return sub.toPandas().to_numpy(dtype=np.float64)
@@ -468,11 +469,16 @@ class FCMKIterativeImputer(_ImputerBase):
             df.schema.fields + [T.StructField("__cluster", T.IntegerType())])
         tagged = df.mapInPandas(tag, tagged_schema)
 
-        # ②③ one shuffle on cluster id; sequential KI kernel per cluster
+        # ②③ one shuffle on cluster id; sequential KI kernel per cluster.
+        # Row order WITHIN a shuffled group is nondeterministic, but the KI
+        # algorithm is order-sensitive (later rows see earlier imputations) —
+        # impose a canonical order (sort by the feature tuple) so results are
+        # reproducible across runs and cluster layouts.
         def ki(pdf: pd.DataFrame) -> pd.DataFrame:
             st = bc.value
             if not len(pdf):
                 return pdf
+            pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
             cl = int(pdf["__cluster"].iloc[0])
             M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
             train_cl = st["train"][st["labels"] == cl]

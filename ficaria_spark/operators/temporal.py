@@ -38,6 +38,22 @@ def _w(entity: str | Sequence[str], order: str | Sequence[str]) -> WindowSpec:
     return Window.partitionBy(*ent).orderBy(*[F.col(c).asc() for c in ords])
 
 
+def range_partition(df: DataFrame, entity: str | Sequence[str], ts: str,
+                    *, num_partitions: int | None = None) -> DataFrame:
+    """Range-partition by (entity, ts) ahead of the window kernel.
+
+    With AQE the window's hash exchange is usually fine; explicit range
+    partitioning helps when (a) downstream writes should be time-clustered,
+    or (b) the same ordering is reused across many window stages and you
+    want locality-friendly file output. Pure layout — no semantic effect.
+    """
+    ent = [entity] if isinstance(entity, str) else list(entity)
+    cols = [F.col(c) for c in (*ent, ts)]
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *cols)
+    return df.repartitionByRange(*cols)
+
+
 def pit_backfill(
     df: DataFrame,
     entity: str | Sequence[str],

@@ -1,0 +1,67 @@
+"""FCKI distributed-vs-driver parity: the Spark plumbing (cluster tagging,
+one shuffle, canonical in-group ordering, per-group RNG) must reproduce a
+pure-driver run of the same sequential algorithm bit-for-bit (allclose)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ficaria_spark.functions import fcm as fcmk
+from ficaria_spark.operators.impute import FCMKIterativeImputer, _ki_impute_group
+
+FEATS = ["f0", "f1", "f2"]
+
+
+def _frame(seed=21, n=300):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, size=(n, 3)) + np.array([0, 6, -6])
+    mask = rng.random((n, 3)) < 0.12
+    mask[:15] = False
+    base[mask] = np.nan
+    pdf = pd.DataFrame(base, columns=FEATS)
+    pdf["row_id"] = np.arange(n)
+    return pdf
+
+
+def _driver_fcki(pdf: pd.DataFrame, imp: FCMKIterativeImputer) -> pd.DataFrame:
+    """Pure-driver twin: same fit state, same canonical order, same per-
+    cluster fresh RandomState — no Spark involved."""
+    X = pdf[FEATS].to_numpy(np.float64)
+    filled = np.where(np.isnan(X), imp.means_[None, :], X)
+    labels = fcmk.fcm_predict(filled, imp.centers_, imp.m).argmax(axis=1)
+    out = pdf.copy()
+    for cl in np.unique(labels):
+        rows = np.where(labels == cl)[0]
+        sub = pdf.iloc[rows].sort_values(FEATS, kind="mergesort")
+        M = sub[FEATS].to_numpy(np.float64)
+        train_cl = imp.X_train_[imp.labels_train_ == cl]
+        res = _ki_impute_group(
+            M, train_cl, means=imp.means_, seed=imp.random_state,
+            max_k=imp.max_k, max_ii_iter=imp.max_II_iter,
+            vmin=imp.min_value_, vmax=imp.max_value_)
+        out.loc[sub.index, FEATS] = res
+    return out
+
+
+def test_fcki_spark_matches_driver_twin(spark):
+    pdf = _frame()
+    sdf = spark.createDataFrame(pdf)
+    imp = FCMKIterativeImputer(n_clusters=3, random_state=7, feature_cols=FEATS)
+    imp.fit(sdf)
+    got = imp.transform(sdf).orderBy("row_id").toPandas()
+    exp = _driver_fcki(pdf, imp).sort_values("row_id")
+    assert np.allclose(
+        got[FEATS].to_numpy(float), exp[FEATS].to_numpy(float), equal_nan=True)
+
+
+def test_fcki_stable_across_partitionings(spark):
+    """Canonical in-group ordering ⇒ identical output no matter how the
+    input was partitioned before the shuffle."""
+    pdf = _frame(seed=33)
+    a = spark.createDataFrame(pdf).repartition(2)
+    b = spark.createDataFrame(pdf.sample(frac=1.0, random_state=5)).repartition(13)
+    mk = lambda: FCMKIterativeImputer(n_clusters=2, random_state=3, feature_cols=FEATS)  # noqa: E731
+    ra = mk().fit(a).transform(a).orderBy("row_id").toPandas()
+    rb = mk().fit(b).transform(b).orderBy("row_id").toPandas()
+    assert np.allclose(ra[FEATS].to_numpy(float), rb[FEATS].to_numpy(float))

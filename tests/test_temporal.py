@@ -184,3 +184,55 @@ def test_interpolate_linear_matches_pandas_positional(spark):
         assert np.allclose(
             got[c + "_interp"].to_numpy(float), exp[c].to_numpy(float), equal_nan=True
         ), c
+
+
+def test_asof_join_tolerance(spark):
+    left_sdf, left_pdf = _mk_events(spark, seed=41)
+    right_sdf, right_pdf = _mk_events(spark, seed=42)
+    right_sdf = right_sdf.drop("rid")
+    tol = 86400.0 * 3
+    got = (
+        asof_join(left_sdf, right_sdf, on="ts", by="entity", value_cols=["v"],
+                  tolerance_seconds=tol)
+        .orderBy("rid").toPandas()
+    )
+    exp_parts = []
+    for e, lg in left_pdf.sort_values("ts", kind="mergesort").groupby("entity"):
+        rg = right_pdf[right_pdf.entity == e].sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            lg, rg[["ts", "v"]].rename(columns={"v": "v_asof"}),
+            on="ts", direction="backward", tolerance=pd.Timedelta(seconds=tol),
+        )
+        exp_parts.append(m)
+    exp = pd.concat(exp_parts).sort_values("rid")
+    assert np.allclose(
+        got["v_asof"].to_numpy(float), exp["v_asof"].to_numpy(float), equal_nan=True)
+
+
+def test_tumble_sliding_windows(spark):
+    sdf, pdf = _mk_events(spark)
+    got = tumble(sdf, "ts", width_seconds=7200, slide_seconds=3600)
+    out = got.select("rid", "window_start", "ts").toPandas()
+    # sliding windows: each row lands in width/slide = 2 windows
+    assert len(out) == 2 * len(pdf)
+    assert (out.groupby("rid").size() == 2).all()
+    # every tagged window actually contains its row
+    ts_epoch = (out.ts.astype("int64") // 10**9).to_numpy()
+    ws = out.window_start.to_numpy()
+    assert ((ts_epoch - ws) >= 0).all()
+    assert ((ts_epoch - ws) < 7200).all()
+    assert (ws % 3600 == 0).all()  # starts on the slide grid
+
+
+def test_range_partition_layout(spark):
+    from ficaria_spark.operators.temporal import range_partition
+
+    sdf, _ = _mk_events(spark)
+    rp = range_partition(sdf, "entity", "ts", num_partitions=4)
+    assert rp.rdd.getNumPartitions() == 4
+    # backfill on top still correct
+    out = pit_backfill(rp, "entity", "ts", ["v"], tiebreak=["rid"])
+    base = pit_backfill(sdf, "entity", "ts", ["v"], tiebreak=["rid"])
+    a = out.orderBy("rid").toPandas()["v_filled"].to_numpy(float)
+    b = base.orderBy("rid").toPandas()["v_filled"].to_numpy(float)
+    assert np.allclose(a, b, equal_nan=True)
