@@ -7,9 +7,10 @@ Each query is executed with a count() action (full materialization of the
 result without driver-side collect). A warmup pass on sf0.001 JIT-warms the
 JVM and Python workers before timing.
 
-Scaling-efficiency mode:  bench.py --scaling  runs the flagship pipeline at
-two parallelism levels (local[N] and local[4N]) in separate JVMs and reports
-throughput at both plus efficiency = T_4N / (4 * T_N). See BENCH/BASELINE.md.
+Scaling-efficiency mode:  bench.py --scaling  runs the same workload on the
+same input with 1 vs 4 REAL executor JVMs (local-cluster[N,4,6144]), pinned
+via taskset, 2 interleaved reps (min-wall), and reports throughput at both
+plus efficiency = thr_4N / (4 * thr_N). See BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
         per_query[n] = round(time.perf_counter() - t0, 3)
     total = time.perf_counter() - t_all
     return {
-        "metric": "headline-suite wall time (9 queries: temporal kernel + asof + relational + tokens)",
+        "metric": "headline-suite wall time (15 queries: flagship pipeline, temporal kernel, asof, relational, tokens, FCM impute, dedup, ANN, text)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
