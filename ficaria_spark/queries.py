@@ -866,3 +866,119 @@ def q_knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_blocked(emb, k=3, nb=8)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Additional exact-oracle coverage: multi-join relational shape, winnowing
+# fingerprints, quality filter flags.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q3_shape",
+    oracle="""
+SELECT o.o_orderkey,
+       cast(sum(cast(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - cast(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = datagen.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = datagen.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = datagen.load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(9,4)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "revenue",
+                _us("o_orderdate").alias("orderdate_us"), "o_orderpriority")
+    )
+
+
+@register(
+    "rolling_fingerprints",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents
+)
+SELECT doc_id,
+       greatest(len(words) - 5, 0) + 1 AS n_shingles,
+       array_to_string(
+         list_transform(range(1, greatest(len(words) - 5, 0) + 2),
+                        i -> md5(array_to_string(words[i:i+4], ' '))), ',') AS fps
+FROM w
+""",
+)
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.text import rolling_fingerprints
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    out = rolling_fingerprints(docs, window=5)
+    return out.select(
+        "doc_id",
+        F.size("shingle_fps").alias("n_shingles"),
+        F.array_join("shingle_fps", ",").alias("fps"),
+    )
+
+
+@register(
+    "quality_filter",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         length(text) AS n_chars
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         (n_chars - (len(words) - 1)) / cast(len(words) AS DOUBLE) AS mwl,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+           / cast(n_chars AS DOUBLE) AS punct,
+         len(list_filter(words, x -> list_contains(
+               ['the','a','of','and','to','in','is','that'], lower(x))))
+           / cast(len(words) AS DOUBLE) AS stopr
+  FROM w
+),
+scored AS (
+  SELECT doc_id, n_words,
+         (CASE WHEN n_words < 5 THEN 0.0 ELSE 1.0 END)
+         * (CASE WHEN mwl > 12.0 THEN 0.5 ELSE 1.0 END)
+         * (1.0 - least(punct * 2.0, 1.0) * 0.5)
+         * (0.5 + least(stopr * 4.0, 1.0) * 0.5) AS quality_score
+  FROM feats
+)
+SELECT doc_id, n_words, round(quality_score, 6) AS quality_score,
+       quality_score >= 0.5 AS quality_keep
+FROM scored
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.text import quality_score
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    out = quality_score(docs)
+    return out.select(
+        "doc_id", "n_words",
+        F.round("quality_score", 6).alias("quality_score"),
+        "quality_keep",
+    )
