@@ -113,3 +113,39 @@ def test_streaming_tumble_batch_semantics(spark):
     assert got.n_events.sum() == 500
     # 500 events * 100s = ~50000s ≈ 14 hourly buckets
     assert 13 <= len(got) <= 15
+
+
+def test_streaming_sessionize_runs_as_a_real_stream(spark, tmp_path):
+    """End-to-end Structured Streaming: file source → watermark →
+    session_window agg → memory sink (availableNow). Emitted (watermark-
+    closed) sessions must be a subset of the batch sessionize result."""
+    import datetime as dt
+
+    rng = np.random.default_rng(12)
+    rows = []
+    t = dt.datetime(2024, 1, 1)
+    for i in range(300):
+        t = t + dt.timedelta(seconds=int(rng.integers(1, 3000)))
+        rows.append((int(rng.integers(0, 6)), t, float(i)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    src = str(tmp_path / "in")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    agg = streaming_sessionize(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sess_stream").toPandas()
+
+    batch = streaming_sessionize(static, gap="30 minutes").toPandas()
+    assert len(got) > 0
+    batch_keys = set(zip(batch.user_id, batch.session_start))
+    got_keys = set(zip(got.user_id, got.session_start))
+    assert got_keys <= batch_keys
+    # watermark-closed sessions must agree exactly with batch on counts
+    merged = got.merge(batch, on=["user_id", "session_start"], suffixes=("_s", "_b"))
+    assert (merged.n_events_s == merged.n_events_b).all()
