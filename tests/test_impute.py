@@ -165,3 +165,32 @@ def test_validate_params_errors():
         FCMCentroidImputer(m=1.0)
     with pytest.raises(ValueError, match="tol must be > 0"):
         FCMCentroidImputer(tol=0.0)
+
+
+def test_iifcm_sigma_variant(spark):
+    """σ-scaled distance variant (IFCM-σ, reference missing_imputation.py:
+    1239–1248): contract + determinism + differs from the unscaled variant."""
+    pdf = _frame(seed=31)
+    sdf = _spark_frame(spark, pdf)
+    mk = lambda sig: FCMInterpolationIterativeImputer(  # noqa: E731
+        n_clusters=3, random_state=4, sigma=sig,
+        feature_cols=FEATS, order_col="row_id")
+    a = mk(True).fit(sdf).transform(sdf).orderBy("row_id").toPandas()[FEATS].to_numpy()
+    b = mk(True).fit(sdf).transform(sdf).orderBy("row_id").toPandas()[FEATS].to_numpy()
+    c = mk(False).fit(sdf).transform(sdf).orderBy("row_id").toPandas()[FEATS].to_numpy()
+    assert np.isfinite(a).all()
+    assert np.allclose(a, b)          # deterministic
+    assert not np.allclose(a, c)      # σ-scaling changes the fill
+
+
+def test_all_nan_row_filled(spark):
+    pdf = _frame(seed=37, n=60, miss=0.0)
+    pdf.loc[9, FEATS] = np.nan  # entire row missing
+    sdf = _spark_frame(spark, pdf)
+    out = (
+        FCMCentroidImputer(n_clusters=2, random_state=1, feature_cols=FEATS)
+        .fit(sdf).transform(sdf).orderBy("row_id").toPandas()
+    )
+    assert out[FEATS].isna().sum().sum() == 0
+    # with every dim masked, distances tie at the floor -> first centroid wins
+    assert np.isfinite(out.loc[out.row_id == 9, FEATS].to_numpy()).all()
