@@ -33,6 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ficaria_spark.queries import ORACLE
+    """Static oracles plus fit-twin oracles (literal-embedded fitted state,
+    generated from the sf0.01 parquet — override via SPARK_GRAFT_ORACLE_SF_DIR
+    when checking another scale)."""
+    from ficaria_spark.queries import ORACLE, dynamic_oracles
 
-    return dict(ORACLE)
+    return dict(ORACLE) | dynamic_oracles()

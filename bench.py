@@ -66,19 +66,28 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     for n in names:
         QUERIES[n](spark, "/root/testdata/sf0.001").count()
 
+    # interleaved repetitions, min wall per query: host steal on this sandbox
+    # varies ±2× over minutes, so a single shot confounds code changes with
+    # noise. value = Σ per-query min (the noise-robust suite time).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     per_query: dict[str, float] = {}
     total_rows = 0
-    t_all = time.perf_counter()
-    for n in names:
-        t0 = time.perf_counter()
-        total_rows += QUERIES[n](spark, sf_dir).count()
-        per_query[n] = round(time.perf_counter() - t0, 3)
-    total = time.perf_counter() - t_all
+    for rep in range(reps):
+        for n in names:
+            t0 = time.perf_counter()
+            rows = QUERIES[n](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            if n not in per_query or dt < per_query[n]:
+                per_query[n] = dt
+            if rep == 0:
+                total_rows += rows
+    total = sum(per_query.values())
     return {
-        "metric": "headline-suite wall time (15 queries: flagship pipeline, temporal kernel, asof, relational, tokens, FCM impute, dedup, ANN, text)",
+        "metric": "headline-suite wall time (15 queries: flagship pipeline, temporal kernel, asof, relational, tokens, FCM impute, dedup, ANN, text; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "reps": reps,
         "sf": _sf_of(sf_dir),
         "rows_out": total_rows,
         "rows_per_sec": round(total_rows / total, 1),

@@ -45,30 +45,44 @@ def hec_distance(
     return np.sqrt(total)
 
 
-def knn_same_class(dist: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
-    """(n, k) indices of the k nearest same-class neighbors (−1 padded)."""
+def knn_same_class(
+    X: np.ndarray, is_num: np.ndarray, y: np.ndarray, k: int, *, block: int = 512
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n, k) indices of the k nearest same-class neighbors (−1 padded) and
+    their distances (NaN padded), sorted ascending.
+
+    Memory-blocked: per class, distances are computed ``block`` query rows at
+    a time against the class — peak O(block · n_c) instead of the full n×n
+    matrix (at fit_cap=10k the dense path allocated several ~800 MB float64
+    temporaries per expression on the driver)."""
     n = len(y)
     out = np.full((n, k), -1, dtype=np.int64)
+    dout = np.full((n, k), np.nan)
     for c in np.unique(y):
         idx = np.where(y == c)[0]
         if len(idx) < 2:
             continue
-        sub = dist[np.ix_(idx, idx)].copy()
-        np.fill_diagonal(sub, np.inf)
-        order = np.argsort(sub, axis=1, kind="mergesort")
+        Xc = X[idx]
         take = min(k, len(idx) - 1)
-        for r, i in enumerate(idx):
-            out[i, :take] = idx[order[r, :take]]
-    return out
+        for s in range(0, len(idx), block):
+            e = min(s + block, len(idx))
+            d = hec_distance(Xc[s:e], Xc, is_num)
+            d[np.arange(e - s), np.arange(s, e)] = np.inf  # self
+            order = np.argsort(d, axis=1, kind="mergesort")[:, :take]
+            out[idx[s:e], :take] = idx[order]
+            dout[idx[s:e], :take] = np.take_along_axis(d, order, axis=1)
+    return out, dout
 
 
-def density_and_ldf(dist: np.ndarray, knn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """ρ(x) = (1+|N|)/(1+Σ d(x,N)); LDF(x) = mean(ρ_nbr / ρ_x)."""
+def density_and_ldf(knn: np.ndarray, dknn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ρ(x) = (1+|N|)/(1+Σ d(x,N)); LDF(x) = mean(ρ_nbr / ρ_x). Works from the
+    kNN distance rows directly (same ascending order the dense path produced,
+    so sums are bit-identical) — no n×n matrix needed."""
     n = len(knn)
     rho = np.zeros(n)
     for i in range(n):
-        nb = knn[i][knn[i] >= 0]
-        rho[i] = (1 + len(nb)) / (1 + dist[i, nb].sum()) if len(nb) else 0.0
+        m = knn[i] >= 0
+        rho[i] = (1 + m.sum()) / (1 + dknn[i][m].sum()) if m.any() else 0.0
     ldf = np.full(n, np.inf)
     for i in range(n):
         nb = knn[i][knn[i] >= 0]
@@ -77,11 +91,11 @@ def density_and_ldf(dist: np.ndarray, knn: np.ndarray) -> tuple[np.ndarray, np.n
     return rho, ldf
 
 
-def high_density_region(X: np.ndarray, is_num: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
+def high_density_region(X: np.ndarray, is_num: np.ndarray, y: np.ndarray, k: int,
+                        *, block: int = 512) -> np.ndarray:
     """Indices of the high-density region H (unique kNN of low-LDF rows)."""
-    dist = hec_distance(X, X, is_num)
-    knn = knn_same_class(dist, y, k)
-    _, ldf = density_and_ldf(dist, knn)
+    knn, dknn = knn_same_class(X, is_num, y, k, block=block)
+    _, ldf = density_and_ldf(knn, dknn)
     picked = np.where(ldf <= 1)[0]
     H = np.unique(knn[picked].ravel())
     return H[H >= 0]

@@ -74,46 +74,74 @@ def check_feature_frame(
     return {"n": n, "n_complete": n_complete, "nonnull": nonnull}
 
 
-def validate_params(params: dict) -> None:
-    """Hyperparameter type/range checks with reference-parity messages."""
-    def _int(name, v, low=None, low_msg=None):
-        if not isinstance(v, int) or isinstance(v, bool):
-            raise TypeError(f"{name} must be int, got {type(v).__name__} instead")
-        if low is not None and v < low:
-            raise ValueError(low_msg or f"{name} must be >= {low}, got {v} instead")
+# (name → range rule) tables mirroring the reference's validate_params
+# (utils.py:84–234; exact messages asserted by its tests/test_utils.py:17–143).
+_INT_GE1 = ("max_clusters", "max_k", "n_features", "max_features")
+_INT_GT1 = ("max_iter", "max_iter_rough_k", "max_FCM_iter", "max_II_iter", "k")
+# float rules: (low, inclusive_low, high, message)
+_FLOAT_RULES = {
+    "m": ("m must be > 1.0, got {v} instead", lambda v: v > 1.0),
+    "tol": ("tol must be > 0, got {v} instead", lambda v: v > 0),
+    "wl": ("wl must be in range (0, 1], got {v} instead", lambda v: 0 < v <= 1),
+    "wb": ("wb must be in range [0, 1], got {v} instead", lambda v: 0 <= v <= 1),
+    "tau": ("tau must be >= 0, got {v} instead", lambda v: v >= 0),
+    "stop_threshold": ("stop_threshold must be >= 0, got {v} instead", lambda v: v >= 0),
+    "min_samples_leaf": ("min_samples_leaf must be > 0, got {v} instead", lambda v: v > 0),
+    "learning_rate": ("learning_rate must be > 0, got {v} instead", lambda v: v > 0),
+    "eps": ("eps must be > 0, got {v} instead", lambda v: v > 0),
+}
 
+
+def validate_params(params: dict) -> None:
+    """Hyperparameter type/range checks with reference-parity messages
+    (every parameter and message format from utils.py:84–234)."""
+    def _is_int(v):
+        return isinstance(v, int) and not isinstance(v, bool)
+
+    def _is_num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    for name in _INT_GE1:
+        if name in params:
+            v = params[name]
+            if not _is_int(v):
+                raise TypeError(f"{name} must be int, got {type(v).__name__} instead")
+            if v < 1:
+                raise ValueError(f"{name} must be >= 1, got {v} instead")
+
+    for name in _INT_GT1:
+        if name in params:
+            v = params[name]
+            if not _is_int(v):
+                raise TypeError(f"{name} must be int, got {type(v).__name__} instead")
+            if v <= 1:
+                raise ValueError(f"{name} must be > 1, got {v} instead")
+
+    if "random_state" in params:
+        v = params["random_state"]
+        if v is not None and not _is_int(v):
+            raise TypeError(f"random_state must be int or None, got {type(v).__name__} instead")
+
+    for name, (msg, ok) in _FLOAT_RULES.items():
+        if name in params:
+            v = params[name]
+            if not _is_num(v):
+                raise TypeError(f"{name} must be int or float, got {type(v).__name__} instead")
+            if not ok(v):
+                raise ValueError(msg.format(v=v))
+
+    # engine extra (not in the reference's table, validated by its imputer
+    # constructors instead): n_clusters may be None (auto elbow search)
     if "n_clusters" in params and params["n_clusters"] is not None:
-        _int("n_clusters", params["n_clusters"], 1)
-    if "max_clusters" in params:
-        _int("max_clusters", params["max_clusters"], 1)
-    if "max_iter" in params:
-        v = params["max_iter"]
-        _int("max_iter", v)
-        if v <= 1:
-            raise ValueError(f"max_iter must be > 1, got {v} instead")
-    if "m" in params:
-        v = params["m"]
-        if not isinstance(v, (int, float)) or isinstance(v, bool):
-            raise TypeError(f"m must be float, got {type(v).__name__} instead")
-        if v <= 1:
-            raise ValueError(f"m must be > 1, got {v} instead")
-    if "tol" in params:
-        v = params["tol"]
-        if not isinstance(v, (int, float)) or isinstance(v, bool):
-            raise TypeError(f"tol must be float, got {type(v).__name__} instead")
-        if v <= 0:
-            raise ValueError(f"tol must be > 0, got {v} instead")
-    if "random_state" in params and params["random_state"] is not None:
-        _int("random_state", params["random_state"])
-    if "learning_rate" in params:
-        v = params["learning_rate"]
-        if not isinstance(v, (int, float)) or isinstance(v, bool):
-            raise TypeError(f"learning_rate must be float, got {type(v).__name__} instead")
-        if not (0 < v <= 1):
-            raise ValueError(f"learning_rate must be in (0, 1], got {v} instead")
+        v = params["n_clusters"]
+        if not _is_int(v):
+            raise TypeError(f"n_clusters must be int, got {type(v).__name__} instead")
+        if v < 1:
+            raise ValueError(f"n_clusters must be >= 1, got {v} instead")
+
     if "n_jobs" in params:
         v = params["n_jobs"]
-        if not isinstance(v, int) or isinstance(v, bool):
+        if not _is_int(v):
             raise TypeError(f"n_jobs must be int, got {type(v).__name__} instead")
         if v == 0:
             raise ValueError("n_jobs must not be 0; use -1 for all cores or a non-zero integer")

@@ -19,6 +19,7 @@ Scale shapes (the whole point of each design):
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ficaria_spark.operators.text import word_tokens
+
+_LOG = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -63,19 +66,40 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+def hot_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 *, k: int = 3, max_shingle_freq: int = 1000) -> DataFrame:
+    """Audit table of the shingles ``ngram_jaccard_pairs`` would prune:
+    (shingle, count) for every shingle shared by more than ``max_shingle_freq``
+    docs. Run this to see what the frequency guard drops."""
+    sh = shingles(df, text_col, id_col, k=k)
+    return sh.groupBy("shingle").count().where(F.col("count") > max_shingle_freq)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         *, k: int = 3, threshold: float = 0.8,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = 1000) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
     ``max_shingle_freq`` drops shingles shared by more than that many docs
     before the join — the standard guard against quadratic blowup on
-    boilerplate shingles at corpus scale.
+    boilerplate shingles at corpus scale (a single shingle in N docs otherwise
+    yields an N²-row self-join). The default is a finite guard; pass ``None``
+    only for exact small-corpus runs. Pruning slightly *underestimates*
+    Jaccard for docs containing hot shingles (they leave both the intersection
+    and the union). Use :func:`hot_shingles` to audit exactly what is dropped;
+    at INFO log level the pruned-shingle count is also computed and logged.
     """
     sh = shingles(df, text_col, id_col, k=k)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
-        sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+        freq = sh.groupBy("shingle").count()
+        if _LOG.isEnabledFor(logging.INFO):
+            n_pruned = freq.where(F.col("count") > max_shingle_freq).count()
+            _LOG.info(
+                "ngram_jaccard_pairs: pruning %d shingles with doc-freq > %d",
+                n_pruned, max_shingle_freq,
+            )
+        keep = freq.where(F.col("count") <= max_shingle_freq)
+        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -257,15 +281,29 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        *, max_hamming: int = 3, seed: int = 29) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the 4-band
-    pigeonhole trick (any pair within distance 3 shares at least one of 4
-    16-bit bands) — candidates join only inside band buckets."""
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via banded pigeonhole:
+    the 64 bits are split into ``bands = max_hamming + 1`` contiguous slices, so
+    any pair within the radius agrees on at least one full band — candidates
+    join only inside band buckets, guaranteeing recall for the requested radius.
+
+    Cost/recall contract: wider radii mean narrower bands (64 // bands bits),
+    i.e. coarser buckets and more candidates. That is the price of exact recall;
+    callers wanting cheaper approximate behaviour should lower ``max_hamming``.
+    """
+    if not 0 <= max_hamming <= 31:
+        # bands must be ≥ 2 bits wide for the bucket key to prune anything
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}.")
     sigs = simhash(df, text_col, id_col, seed=seed)
-    bands = 4
+    bands = max_hamming + 1
+    base_w, extra = divmod(64, bands)
+    widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]]).tolist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            F.shiftrightunsigned("simhash", int(offsets[b]))
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("bucket"),
         )
         for b in range(bands)
     ]

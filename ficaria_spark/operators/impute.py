@@ -252,7 +252,9 @@ class FCMRoughParameterImputer(_ImputerBase):
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
         super().__init__(feature_cols, fit_cap)
         validate_params({"n_clusters": n_clusters, "m": m, "max_iter": max_iter,
-                         "tol": tol, "random_state": random_state})
+                         "max_iter_rough_k": max_iter_rough_k, "wl": wl,
+                         "wb": wb, "tau": tau, "tol": tol,
+                         "random_state": random_state})
         if not math.isclose(wl + wb, 1.0, rel_tol=1e-9):
             raise ValueError(f"wl + wb must equal 1, got {wl + wb} instead")
         self.n_clusters, self.m, self.wl, self.wb, self.tau = n_clusters, m, wl, wb, tau
@@ -409,7 +411,9 @@ class FCMKIterativeImputer(_ImputerBase):
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
         super().__init__(feature_cols, fit_cap)
         validate_params({"n_clusters": n_clusters, "m": m, "max_clusters": max_clusters,
-                         "tol": tol, "random_state": random_state})
+                         "max_k": max_k, "max_FCM_iter": max_FCM_iter,
+                         "max_II_iter": max_II_iter, "tol": tol,
+                         "random_state": random_state})
         self.n_clusters, self.m, self.max_clusters, self.max_k = n_clusters, m, max_clusters, max_k
         self.max_FCM_iter, self.max_II_iter = max_FCM_iter, max_II_iter
         self.tol, self.random_state = tol, random_state
@@ -556,6 +560,13 @@ class FCMInterpolationIterativeImputer(_ImputerBase):
         super().__init__(feature_cols, fit_cap)
         validate_params({"n_clusters": n_clusters, "m": m, "max_iter": max_iter,
                          "tol": tol, "random_state": random_state})
+        # ad-hoc checks mirroring the reference (missing_imputation.py:1102–1108)
+        if not isinstance(alpha, (int, float)) or isinstance(alpha, bool):
+            raise TypeError(f"alpha must be int or float, got {type(alpha).__name__} instead")
+        if alpha <= 0:
+            raise ValueError(f"alpha must be > 0, got {alpha} instead")
+        if not isinstance(sigma, bool):
+            raise TypeError(f"sigma must be bool, got {type(sigma).__name__} instead")
         self.n_clusters, self.m, self.alpha, self.sigma = n_clusters, m, alpha, sigma
         self.max_iter, self.tol, self.random_state = max_iter, tol, random_state
         self.order_col = order_col
@@ -662,7 +673,16 @@ class FCMDTIterativeImputer(_ImputerBase):
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
         super().__init__(feature_cols, fit_cap)
         validate_params({"m": m, "tol": tol, "random_state": random_state,
-                         "learning_rate": learning_rate})
+                         "learning_rate": learning_rate,
+                         "min_samples_leaf": min_samples_leaf,
+                         "stop_threshold": stop_threshold,
+                         "max_clusters": max_clusters,
+                         "max_FCM_iter": max_FCM_iter})
+        # ad-hoc alpha check mirroring the reference (missing_imputation.py:1371–1374)
+        if not isinstance(alpha, (int, float)) or isinstance(alpha, bool):
+            raise TypeError(f"alpha must be int or float, got {type(alpha).__name__} instead")
+        if alpha <= 0:
+            raise ValueError(f"alpha must be > 0, got {alpha} instead")
         self.min_samples_leaf, self.learning_rate = min_samples_leaf, learning_rate
         self.stop_threshold, self.max_iter = stop_threshold, max_iter
         self.max_clusters, self.m, self.alpha = max_clusters, m, alpha
@@ -732,83 +752,70 @@ class FCMDTIterativeImputer(_ImputerBase):
                     pdf[c] = W[:, i]
                     pdf[leaf_cols[i]] = leaves[:, i]
                     pdf[mask_cols[i]] = was_nan[:, i]
+                # per-row |update| accumulators: summed ONCE per sweep instead
+                # of one join+collect per column (d× fewer driver round-trips)
+                pdf["__dsum"] = 0.0
+                pdf["__dcnt"] = np.int64(0)
                 yield pdf
 
         tagged_schema = T.StructType(
             df.schema.fields
             + [T.StructField(lc, T.LongType()) for lc in leaf_cols]
             + [T.StructField(mc, T.BooleanType()) for mc in mask_cols]
-            + [T.StructField("__rid", T.LongType())])
+            + [T.StructField("__dsum", T.DoubleType()),
+               T.StructField("__dcnt", T.LongType())])
 
-        def initial_with_rid(batches):
-            # __rid assigned inside the same pass (partition-local counter
-            # offset by a wide stride per partition) so refinement deltas can
-            # be joined row-to-row
-            from pyspark import TaskContext
+        work = incomplete.mapInPandas(initial, tagged_schema).localCheckpoint()
 
-            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-            base = pid * 10_000_000_000
-            seen = 0
-            for pdf in initial(batches):
-                pdf["__rid"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-                seen += len(pdf)
-                yield pdf
-
-        work = incomplete.mapInPandas(initial_with_rid, tagged_schema).localCheckpoint()
-
-        # ② refinement sweeps: per column, group by leaf; driver convergence
+        # ② refinement sweeps: per column, group by leaf. The d column
+        # refinements of one sweep CHAIN lazily (each applyInPandas feeds the
+        # next — sequential semantics preserved); the sweep materializes with
+        # ONE action (localCheckpoint + a single Δ-aggregate), so driver
+        # round-trips are per sweep, not per (sweep, column).
         lr = self.learning_rate
         params = dict(max_clusters=self.max_clusters, m=self.m, alpha=self.alpha,
                       max_iter=self.max_FCM_iter, tol=self.tol,
                       random_state=self.random_state)
 
+        def make_refine(j: int, jleaf: str, jmask: str):
+            def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+                st = bc.value
+                leaf = int(pdf[jleaf].iloc[0])
+                if leaf < 0 or not pdf[jmask].any():
+                    return pdf
+                comp = st["X_complete"][st["leaf_ids"][j] == leaf]
+                M = pdf[cols].to_numpy(dtype=np.float64)
+                stacked = np.vstack([comp, M]) if len(comp) else M
+                if len(stacked) < 2:
+                    return pdf
+                k = _pick_k_by_fsi(stacked, **params)
+                centers, u = fcmk.fuzzy_c_means(
+                    stacked, k, m=params["m"], max_iter=params["max_iter"],
+                    tol=params["tol"], random_state=params["random_state"])
+                pred = u[len(comp):] @ centers[:, j]
+                cur = M[:, j]
+                mask = pdf[jmask].to_numpy()
+                upd = np.where(mask, cur + lr * (pred - cur), cur)
+                pdf[cols[j]] = upd
+                pdf["__dsum"] = pdf["__dsum"].to_numpy() + np.abs(upd - cur)
+                pdf["__dcnt"] = pdf["__dcnt"].to_numpy() + mask.astype(np.int64)
+                return pdf
+
+            return refine
+
+        prev_sum, prev_cnt = 0.0, 0
         for _ in range(self.max_iter):
-            av_num, av_den = 0.0, 0
             for j in range(d):
-                jcol, jleaf, jmask = cols[j], leaf_cols[j], mask_cols[j]
-
-                def make_refine(j: int, jleaf: str, jmask: str):
-                    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-                        st = bc.value
-                        leaf = int(pdf[jleaf].iloc[0])
-                        if leaf < 0 or not pdf[jmask].any():
-                            return pdf
-                        comp = st["X_complete"][st["leaf_ids"][j] == leaf]
-                        M = pdf[cols].to_numpy(dtype=np.float64)
-                        stacked = np.vstack([comp, M]) if len(comp) else M
-                        if len(stacked) < 2:
-                            return pdf
-                        k = _pick_k_by_fsi(stacked, **params)
-                        centers, u = fcmk.fuzzy_c_means(
-                            stacked, k, m=params["m"], max_iter=params["max_iter"],
-                            tol=params["tol"], random_state=params["random_state"])
-                        pred = u[len(comp):] @ centers[:, j]
-                        cur = M[:, j]
-                        upd = np.where(pdf[jmask].to_numpy(), cur + lr * (pred - cur), cur)
-                        pdf[cols[j]] = upd
-                        return pdf
-
-                    return refine
-
-                refine = make_refine(j, jleaf, jmask)
-
-                new_work = (
-                    work.groupBy(jleaf).applyInPandas(refine, tagged_schema)
-                ).localCheckpoint()
-                # AV for this column: mean |new − old| over the refreshed cells
-                stats = (
-                    new_work.select("__rid", F.col(jcol).alias("__new"), jmask)
-                    .join(work.select("__rid", F.col(jcol).alias("__old")), "__rid")
-                    .where(F.col(jmask))
-                    .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))).alias("s"),
-                         F.count("*").alias("c"))
-                    .collect()[0]
-                )
-                av_num += float(stats["s"] or 0.0)
-                av_den += int(stats["c"])
-                work = new_work
+                work = work.groupBy(leaf_cols[j]).applyInPandas(
+                    make_refine(j, leaf_cols[j], mask_cols[j]), tagged_schema)
+            work = work.localCheckpoint()
+            stats = work.agg(F.sum("__dsum").alias("s"),
+                             F.sum("__dcnt").alias("c")).collect()[0]
+            tot_sum, tot_cnt = float(stats["s"] or 0.0), int(stats["c"] or 0)
+            av_num, av_den = tot_sum - prev_sum, tot_cnt - prev_cnt
+            prev_sum, prev_cnt = tot_sum, tot_cnt
             if av_den == 0 or av_num / av_den <= self.stop_threshold:
                 break
 
-        out = work.drop(*leaf_cols, *mask_cols, "__rid")
+        out = work.drop(*leaf_cols, *mask_cols, "__dsum", "__dcnt")
         return complete.unionByName(out)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ficaria_spark.functions import fuzzyrough as fr
 from ficaria_spark.functions import granularity as gr
-from ficaria_spark.functions.validation import check_feature_frame
+from ficaria_spark.functions.validation import check_feature_frame, validate_params
 from ficaria_spark.operators.impute import NotFittedError
 from ficaria_spark.operators.pairwise import block_pair_sums
 
@@ -41,10 +41,13 @@ class FuzzyGranularitySelector:
     def __init__(self, k: int = 2, eps: float = 2.0, max_features: int | None = None,
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 10_000,
                  delta_engine: str = "driver", nb: int = 8):
-        if not isinstance(k, int) or isinstance(k, bool):
-            raise TypeError(f"k must be int, got {type(k).__name__} instead")
-        if k < 1:
-            raise ValueError(f"k must be >= 1, got {k} instead")
+        # reference validation shape (feature_selection.py:84–92): the repo's
+        # `k` is the reference's `n_features` (count of features to keep)
+        validate_params({"n_features": k, "eps": eps,
+                         **({"max_features": max_features} if max_features is not None else {})})
+        if max_features is not None and k > max_features:
+            raise ValueError(
+                f"n_features must be <= max_features: {max_features}, got {k} instead")
         self.k, self.eps, self.max_features = k, eps, max_features
         self.feature_cols = list(feature_cols) if feature_cols else None
         self.fit_cap, self.delta_engine, self.nb = fit_cap, delta_engine, nb
@@ -121,6 +124,12 @@ class WeightedFuzzyRoughSelector:
     def __init__(self, n_features: int = 2, k: int = 5, alpha: float = 0.5,
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 10_000,
                  rel_engine: str = "driver"):
+        # reference validation (feature_selection.py:623–632)
+        validate_params({"n_features": n_features, "k": k})
+        if not isinstance(alpha, (int, float)) or isinstance(alpha, bool):
+            raise TypeError(f"alpha must be int or float, got {type(alpha).__name__} instead")
+        if not (0 < alpha <= 1):
+            raise ValueError(f"alpha must be in range (0, 1], got {alpha} instead")
         self.n_features, self.k, self.alpha = n_features, k, alpha
         self.feature_cols = list(feature_cols) if feature_cols else None
         self.fit_cap, self.rel_engine = fit_cap, rel_engine

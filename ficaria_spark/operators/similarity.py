@@ -190,7 +190,9 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
     """Train coarse centroids on a driver-side sample (bounded), broadcast,
     and tag every row with its inverted-list id. Returns (tagged_df, centroids)."""
     base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
-    sample = np.stack(base.limit(sample_cap).toPandas()["vec"].to_numpy())
+    # canonical (id-ordered) sample: the fitted centers are invariant to input
+    # partitioning, and the driver-independent oracle twin can reproduce them
+    sample = np.stack(base.orderBy("id").limit(sample_cap).toPandas()["vec"].to_numpy())
     centers = _kmeans(sample, n_lists, iters, seed)
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
@@ -226,11 +228,14 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
             M = np.stack(pdf["vec"].to_numpy())
             d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             near = np.argsort(d, axis=1, kind="mergesort")[:, :npb]
-            rows = []
-            for i in range(len(pdf)):
-                for li in near[i]:
-                    rows.append((pdf["id"].iloc[i], pdf["vec"].iloc[i], int(li)))
-            yield pd.DataFrame(rows, columns=["qid", "qvec", "probe_list"])
+            # columnwise expansion: repeat each query row nprobe times, ravel
+            # the probe matrix — no per-row Python
+            idx = np.repeat(np.arange(len(pdf)), near.shape[1])
+            yield pd.DataFrame({
+                "qid": pdf["id"].to_numpy()[idx],
+                "qvec": pdf["vec"].to_numpy()[idx],
+                "probe_list": near.ravel().astype(np.int32),
+            })
 
     q = tagged.mapInPandas(probes, "qid long, qvec array<double>, probe_list int")
     n = tagged.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"),

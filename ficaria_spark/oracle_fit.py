@@ -1,0 +1,492 @@
+"""Literal-embedded DuckDB oracles for driver-side-fitted operators.
+
+Every imputer/ANN fit in this engine is a *driver-side, seeded, deterministic*
+NumPy computation over a canonically-ordered bounded sample (see
+operators/impute.py `_ImputerBase._collect_complete`). That makes the fitted
+state reproducible WITHOUT Spark: this module re-runs the identical fit from
+the same parquet via DuckDB/pandas and emits transform SQL with the fitted
+state (centers, side means, hyperplanes) embedded as double literals.
+
+The emitted SQL mirrors the engine's transform kernels expression-for-
+expression (same masked-distance shape, same 1e-10 floor, same first-min
+tie-break, same membership formula) so the driver's typed value-hash matches
+bit-for-bit — filled cells are either center-component *literals* (exact) or
+short arithmetic rounded to 4dp (Spark query rounds identically).
+
+Reference semantics being twinned: missing_imputation.py:156-163 (centroid
+fill), 312-319 (parameter fill), 525-657 (rough side choice), 1192-1197
+(IIFCM fill) in /root/reference/ficaria.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ficaria_spark import datagen
+from ficaria_spark.functions import fcm as fcmk
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+# deterministic masked feature matrix over `part` — single source of truth,
+# imported by queries.py for both the Spark builder and the oracles
+PART_MATRIX_SQL = """
+SELECT p_partkey AS row_id,
+       CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_retailprice END AS f0,
+       CASE WHEN p_partkey % 11 = 3 THEN NULL ELSE cast(p_size AS DOUBLE) END AS f1,
+       cast(length(p_name) AS DOUBLE) AS f2,
+       cast(p_partkey % 97 AS DOUBLE) AS f3
+FROM part
+"""
+
+FEATS = ["f0", "f1", "f2", "f3"]
+_FIT_CAP = 200_000
+
+
+def _lit(x: float) -> str:
+    """Shortest round-trip double literal (DuckDB parses back the same bits)."""
+    return repr(float(x))
+
+
+def _vec_lit(v: np.ndarray) -> str:
+    return "[" + ", ".join(_lit(x) for x in v) + "]"
+
+
+def _duck(sf_dir: str, tables: tuple[str, ...]):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@lru_cache(maxsize=8)
+def _part_matrix_pdf(sf_dir: str):
+    con = _duck(sf_dir, ("part",))
+    return con.execute(PART_MATRIX_SQL).df()
+
+
+def _complete_sorted(pdf, cols: list[str], cap: int = _FIT_CAP) -> np.ndarray:
+    """Twin of `_ImputerBase._collect_complete`: complete rows in canonical
+    (feature-tuple) order, capped. Full-tuple duplicates are interchangeable
+    for every downstream fit, so the order is engine-invariant."""
+    comp = pdf.dropna(subset=cols)[cols].sort_values(cols, kind="mergesort").head(cap)
+    return comp.to_numpy(dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# fits (exact twins of the Spark-side driver fits)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def fit_fcm_centers(sf_dir: str) -> np.ndarray:
+    """FCMCentroidImputer/FCMParameterImputer fit twin (n_clusters=3, rs=42)."""
+    X = _complete_sorted(_part_matrix_pdf(sf_dir), FEATS)
+    centers, _ = fcmk.fuzzy_c_means(X, 3, m=2.0, max_iter=100, tol=1e-5, random_state=42)
+    return centers
+
+
+@lru_cache(maxsize=8)
+def fit_iifcm_centers(sf_dir: str) -> np.ndarray:
+    """FCMInterpolationIterativeImputer fit twin (order_col=row_id, rs=42)."""
+    from ficaria_spark.operators.impute import _ifcm
+
+    pdf = _part_matrix_pdf(sf_dir).sort_values("row_id").head(_FIT_CAP)
+    sub = pdf[FEATS].reset_index(drop=True)
+    miss_mask = sub.isna().to_numpy()
+    filled = sub.interpolate(method="linear", axis=0, limit_direction="both")
+    centers, _ = _ifcm(
+        filled.to_numpy(dtype=np.float64), miss_mask, n_clusters=3, m=2.0,
+        alpha=2.0, use_sigma=False, max_iter=100, tol=1e-5, random_state=42)
+    return centers
+
+
+@lru_cache(maxsize=8)
+def fit_rough_state(sf_dir: str):
+    """FCMRoughParameterImputer fit twin. Returns (rough_centers (3,4),
+    per-cluster [(lower_row_ids, upper_row_ids, mean_lower, mean_upper)])."""
+    from ficaria_spark.operators.impute import _rough_kmeans
+
+    pdf = _part_matrix_pdf(sf_dir)
+    comp = pdf.dropna(subset=FEATS).sort_values(FEATS, kind="mergesort").head(_FIT_CAP)
+    X = comp[FEATS].to_numpy(dtype=np.float64)
+    rids = comp["row_id"].to_numpy()
+    centers0, u = fcmk.fuzzy_c_means(X, 3, m=2.0, max_iter=100, tol=1e-5, random_state=42)
+    lower, upper, centers = _rough_kmeans(
+        X, u, centers0, wl=0.6, wb=0.4, tau=0.5, max_iter=100, tol=1e-5)
+    clusters = []
+    for j in range(3):
+        lo, up = lower[:, j], upper[:, j]
+        clusters.append((
+            rids[lo],
+            rids[up],
+            X[lo].mean(axis=0) if lo.any() else None,
+            X[up].mean(axis=0) if up.any() else None,
+        ))
+    return centers, clusters
+
+
+# backfill CTEs shared with the flagship oracle in queries.py
+_FLAGSHIP_FEAT_CTE = f"""WITH grid AS ({datagen.FEATURE_GRID_SQL}),
+feat AS (
+  SELECT event_id, entity_id, ts,
+         coalesce(
+           f_value,
+           last_value(f_value IGNORE NULLS) OVER (
+             PARTITION BY entity_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ) AS g0,
+         cast(entity_id % 17 AS DOUBLE) AS g1
+  FROM grid
+)"""
+
+
+@lru_cache(maxsize=8)
+def fit_flagship_centers(sf_dir: str) -> np.ndarray:
+    """pipeline_flagship_fcm fit twin: FCMParameterImputer(n_clusters=3,
+    rs=42) over the (g0, g1) matrix derived from the backfilled grid."""
+    con = _duck(sf_dir, ("events",))
+    pdf = con.execute(_FLAGSHIP_FEAT_CTE + "\nSELECT g0, g1 FROM feat").df()
+    X = _complete_sorted(pdf, ["g0", "g1"])
+    centers, _ = fcmk.fuzzy_c_means(X, 3, m=2.0, max_iter=100, tol=1e-5, random_state=42)
+    return centers
+
+
+@lru_cache(maxsize=8)
+def _embeddings_sorted(sf_dir: str) -> np.ndarray:
+    con = _duck(sf_dir, ("embeddings",))
+    pdf = con.execute("SELECT embedding FROM embeddings ORDER BY vec_id").df()
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
+@lru_cache(maxsize=8)
+def fit_ivf_centers(sf_dir: str, n_lists: int = 8, iters: int = 10,
+                    seed: int = 11, sample_cap: int = 20_000) -> np.ndarray:
+    """ivf_assign fit twin: k-means over the canonically-ordered sample."""
+    from ficaria_spark.operators.similarity import _kmeans
+
+    X = _embeddings_sorted(sf_dir)[:sample_cap]
+    return _kmeans(X, n_lists, iters, seed)
+
+
+# ---------------------------------------------------------------------------
+# SQL builders
+# ---------------------------------------------------------------------------
+
+def _masked_d2_terms(centers_row: np.ndarray, feats: list[str]) -> str:
+    """Sum of NaN-masked squared diffs, same term order as the engine kernel."""
+    terms = [
+        f"(CASE WHEN {f} IS NULL THEN 0.0 "
+        f"ELSE ({f} - {_lit(c)}) * ({f} - {_lit(c)}) END)"
+        for f, c in zip(feats, centers_row)
+    ]
+    return " + ".join(terms)
+
+
+def _masked_dist_expr(centers_row: np.ndarray, feats: list[str]) -> str:
+    return f"greatest(sqrt({_masked_d2_terms(centers_row, feats)}), 1e-10)"
+
+
+def _nearest3_expr(d=("d0", "d1", "d2")) -> str:
+    """First-min argmin over 3 distances (np.argmin tie semantics)."""
+    return (f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END")
+
+
+def _center_pick(centers: np.ndarray, j: int, cl: str = "cl") -> str:
+    return (f"CASE {cl} WHEN 0 THEN {_lit(centers[0, j])} "
+            f"WHEN 1 THEN {_lit(centers[1, j])} ELSE {_lit(centers[2, j])} END")
+
+
+def centroid_oracle_sql(centers: np.ndarray, *, nd: int = 6) -> str:
+    """Transform twin of FCMCentroidImputer (and IIFCM with its centers):
+    fill each NULL cell from the masked-distance-nearest center."""
+    d_exprs = ",\n         ".join(
+        f"{_masked_dist_expr(centers[k], FEATS)} AS d{k}" for k in range(3))
+    fills = ",\n       ".join(
+        f"round(coalesce({f}, {_center_pick(centers, j)}), {nd}) AS {f}"
+        for j, f in enumerate(FEATS))
+    return f"""WITH m AS ({PART_MATRIX_SQL}),
+d AS (
+  SELECT row_id, f0, f1, f2, f3,
+         {d_exprs}
+  FROM m
+),
+n AS (SELECT *, {_nearest3_expr()} AS cl FROM d)
+SELECT row_id,
+       {fills}
+FROM n
+"""
+
+
+def _membership_est_exprs(centers: np.ndarray, dcols=("d0", "d1", "d2")) -> tuple[list[str], list[str]]:
+    """u_k = 1/Σ_l (d_k/d_l)² and est_j = Σ_k u_k·c_kj — identical op order to
+    memberships_from_dist + u @ centers (m=2)."""
+    u_exprs = []
+    for k in range(3):
+        ratio_sum = " + ".join(
+            f"(({dcols[k]} / {dcols[l]}) * ({dcols[k]} / {dcols[l]}))" for l in range(3))
+        u_exprs.append(f"1.0 / ({ratio_sum})")
+    est_exprs = []
+    for j in range(centers.shape[1]):
+        est_exprs.append(" + ".join(f"u{k} * {_lit(centers[k, j])}" for k in range(3)))
+    return u_exprs, est_exprs
+
+
+def parameter_oracle_sql(centers: np.ndarray, *, nd: int = 4) -> str:
+    """Transform twin of FCMParameterImputer: membership-weighted centroid mix.
+    Arithmetic (not literal) fills → rounded to 4dp on both sides."""
+    d_exprs = ",\n         ".join(
+        f"{_masked_dist_expr(centers[k], FEATS)} AS d{k}" for k in range(3))
+    u_exprs, est_exprs = _membership_est_exprs(centers)
+    u_sql = ",\n         ".join(f"{e} AS u{k}" for k, e in enumerate(u_exprs))
+    est_sql = ",\n         ".join(f"{e} AS est{j}" for j, e in enumerate(est_exprs))
+    fills = ",\n       ".join(
+        f"round(coalesce({f}, est{j}), {nd}) AS {f}" for j, f in enumerate(FEATS))
+    return f"""WITH m AS ({PART_MATRIX_SQL}),
+d AS (
+  SELECT row_id, f0, f1, f2, f3,
+         {d_exprs}
+  FROM m
+),
+u AS (
+  SELECT *,
+         {u_sql}
+  FROM d
+),
+e AS (
+  SELECT *,
+         {est_sql}
+  FROM u
+)
+SELECT row_id,
+       {fills}
+FROM e
+"""
+
+
+def rough_oracle_sql(centers: np.ndarray, clusters, *, nd: int = 6) -> str:
+    """Transform twin of FCMRoughParameterImputer: nearest rough cluster by
+    masked distance, then the better-matching side (mean member distance),
+    fill from that side's column means (literals)."""
+    d_exprs = ",\n         ".join(
+        f"{_masked_dist_expr(centers[k], FEATS)} AS d{k}" for k in range(3))
+    mem_rows = []
+    for j, (lo_ids, up_ids, _, _) in enumerate(clusters):
+        lo_set = set(lo_ids.tolist())
+        for rid in up_ids.tolist():
+            mem_rows.append(f"({rid}, {j}, {str(rid in lo_set).upper()})")
+        # lower ⊆ upper by construction; rows only in lower would be a bug
+    mem_values = ",\n    ".join(mem_rows)
+    n_lo = [len(c[0]) for c in clusters]
+    n_up = [len(c[1]) for c in clusters]
+    n_lo_case = f"CASE n.cl WHEN 0 THEN {n_lo[0]} WHEN 1 THEN {n_lo[1]} ELSE {n_lo[2]} END"
+    n_up_case = f"CASE n.cl WHEN 0 THEN {n_up[0]} WHEN 1 THEN {n_up[1]} ELSE {n_up[2]} END"
+
+    def mean_pick(j_feat: int) -> str:
+        branches = []
+        for j, (_, _, mlo, mup) in enumerate(clusters):
+            lo_lit = _lit(mlo[j_feat]) if mlo is not None else "NULL"
+            up_lit = _lit(mup[j_feat]) if mup is not None else "NULL"
+            branches.append(f"WHEN s.cl = {j} AND s.side = 0 THEN {lo_lit}")
+            branches.append(f"WHEN s.cl = {j} AND s.side = 1 THEN {up_lit}")
+        return "CASE " + " ".join(branches) + " END"
+
+    # member distance uses the member vector columns v0..v3 as the "center"
+    terms = " + ".join(
+        f"(CASE WHEN n.{f} IS NULL THEN 0.0 "
+        f"ELSE (n.{f} - v.{v}) * (n.{f} - v.{v}) END)"
+        for f, v in zip(FEATS, ["v0", "v1", "v2", "v3"]))
+    member_dist = f"greatest(sqrt({terms}), 1e-10)"
+
+    fills = ",\n       ".join(
+        f"round(coalesce(m.{f}, {mean_pick(j)}), {nd}) AS {f}"
+        for j, f in enumerate(FEATS))
+    return f"""WITH m AS ({PART_MATRIX_SQL}),
+mem AS (
+  SELECT * FROM (VALUES
+    {mem_values}
+  ) AS t(row_id, cl, is_lower)
+),
+memv AS (
+  SELECT mem.cl, mem.is_lower, m.f0 AS v0, m.f1 AS v1, m.f2 AS v2, m.f3 AS v3
+  FROM mem JOIN m USING (row_id)
+),
+mis AS (
+  SELECT row_id, f0, f1, f2, f3,
+         {d_exprs}
+  FROM m
+  WHERE f0 IS NULL OR f1 IS NULL OR f2 IS NULL OR f3 IS NULL
+),
+n AS (SELECT *, {_nearest3_expr()} AS cl FROM mis),
+sd AS (
+  SELECT n.row_id,
+         avg(CASE WHEN v.is_lower THEN {member_dist} END) AS dl,
+         avg({member_dist}) AS du
+  FROM n JOIN memv v ON v.cl = n.cl
+  GROUP BY n.row_id
+),
+sides AS (
+  SELECT n.row_id, n.cl,
+         CASE WHEN {n_lo_case} = 0 THEN 1
+              WHEN {n_up_case} = 0 THEN 0
+              WHEN sd.dl <= sd.du THEN 0 ELSE 1 END AS side
+  FROM n JOIN sd USING (row_id)
+)
+SELECT m.row_id,
+       {fills}
+FROM m LEFT JOIN sides s USING (row_id)
+"""
+
+
+def flagship_fcm_oracle_sql(centers: np.ndarray, *, nd: int = 4) -> str:
+    """pipeline_flagship_fcm twin: backfill, then FCMParameterImputer fill of
+    residual g0 gaps from the fitted (g0, g1) centers."""
+    g = ["g0", "g1"]
+    d_exprs = ",\n         ".join(
+        f"{_masked_dist_expr(centers[k], g)} AS d{k}" for k in range(3))
+    u_exprs, est_exprs = _membership_est_exprs(centers)
+    u_sql = ",\n         ".join(f"{e} AS u{k}" for k, e in enumerate(u_exprs))
+    return f"""{_FLAGSHIP_FEAT_CTE},
+d AS (
+  SELECT event_id, entity_id, ts, g0, g1,
+         {d_exprs}
+  FROM feat
+),
+u AS (
+  SELECT *,
+         {u_sql}
+  FROM d
+)
+SELECT event_id, entity_id, epoch_us(ts) AS ts_us,
+       round(coalesce(g0, {est_exprs[0]}), {nd}) AS f_value_filled
+FROM u
+"""
+
+
+_COS_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (s, v) -> s + v)"
+    " / (sqrt(list_reduce(list_transform({a}, y -> y * y), (s, t) -> s + t))"
+    " * sqrt(list_reduce(list_transform({b}, y -> y * y), (s, t) -> s + t)))"
+)
+
+
+def ivf_oracle_sql(centers: np.ndarray, *, nprobe: int = 2, k: int = 3) -> str:
+    """ivf_ann_topk twin: literal coarse centers, stable-argsort probe lists,
+    exact cosine re-rank within probed lists (same fold shape as _cos_expr)."""
+    cent_rows = ",\n    ".join(
+        f"({j}, CAST({_vec_lit(centers[j])} AS DOUBLE[]))" for j in range(len(centers)))
+    cos = _COS_SQL.format(a="q.vec", b="n.vec")
+    return f"""WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cent AS (
+  SELECT * FROM (VALUES
+    {cent_rows}
+  ) AS t(list_id, cv)
+),
+dist AS (
+  SELECT r.vec_id, c.list_id,
+         list_reduce(list_transform(list_zip(r.vec, c.cv),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (s, v) -> s + v) AS d
+  FROM raw r CROSS JOIN cent c
+),
+rk AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS r
+  FROM dist
+),
+assign AS (SELECT vec_id, list_id FROM rk WHERE r = 1),
+probes AS (SELECT vec_id, list_id FROM rk WHERE r <= {nprobe}),
+pairs AS (
+  SELECT p.vec_id AS qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.vec_id
+),
+scored AS (
+  SELECT pr.qid, pr.nid, {cos} AS cosine
+  FROM pairs pr
+  JOIN raw q ON q.vec_id = pr.qid
+  JOIN raw n ON n.vec_id = pr.nid
+),
+ranked AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_oracle_sql(planes: np.ndarray, *, k: int = 3) -> str:
+    """lsh_ann_topk twin: literal hyperplanes, sign-bit buckets per table,
+    candidates share any (table, bucket), exact cosine re-rank."""
+    n_tables, n_planes, _ = planes.shape
+    plane_rows = ",\n    ".join(
+        f"({t}, {p}, CAST({_vec_lit(planes[t, p])} AS DOUBLE[]))"
+        for t in range(n_tables) for p in range(n_planes))
+    cos = _COS_SQL.format(a="q.vec", b="n.vec")
+    return f"""WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+planes AS (
+  SELECT * FROM (VALUES
+    {plane_rows}
+  ) AS t(tbl, plane, w)
+),
+bits AS (
+  SELECT r.vec_id, pl.tbl,
+         CASE WHEN list_reduce(list_transform(list_zip(r.vec, pl.w),
+                                              p -> p[1] * p[2]),
+                               (s, v) -> s + v) > 0
+              THEN cast(pow(2, pl.plane) AS BIGINT) ELSE 0 END AS bit
+  FROM raw r CROSS JOIN planes pl
+),
+buckets AS (SELECT vec_id, tbl, sum(bit) AS bucket FROM bits GROUP BY vec_id, tbl),
+cands AS (
+  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
+),
+scored AS (
+  SELECT c.qid, c.nid, {cos} AS cosine
+  FROM cands c
+  JOIN raw q ON q.vec_id = c.qid
+  JOIN raw n ON n.vec_id = c.nid
+),
+ranked AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
+    """All fit-dependent oracles for one sf dir. Each builder is independent;
+    a failure in one (e.g. missing table) skips only that oracle."""
+    from ficaria_spark.operators.similarity import _hyperplanes
+
+    out: dict[str, str] = {}
+    builders = {
+        "impute_fcm_centroid": lambda: centroid_oracle_sql(fit_fcm_centers(sf_dir)),
+        "impute_fcm_parameter": lambda: parameter_oracle_sql(fit_fcm_centers(sf_dir)),
+        "impute_iifcm": lambda: centroid_oracle_sql(fit_iifcm_centers(sf_dir)),
+        "impute_fcm_rough": lambda: rough_oracle_sql(*fit_rough_state(sf_dir)),
+        "pipeline_flagship_fcm": lambda: flagship_fcm_oracle_sql(fit_flagship_centers(sf_dir)),
+        "ann_ivf": lambda: ivf_oracle_sql(fit_ivf_centers(sf_dir), nprobe=2, k=3),
+        "ann_lsh": lambda: lsh_oracle_sql(_hyperplanes(64, 8, 4, 7), k=3),
+    }
+    for name, build in builders.items():
+        try:
+            out[name] = build()
+        except Exception:  # pragma: no cover - degrade to rows-only check
+            pass
+    return out

@@ -97,7 +97,7 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     oracle=f"""{_GRID_CTE},
 flagged AS (
-  SELECT entity_id, ts, f_value,
+  SELECT entity_id, ts, event_id, f_value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_sess
@@ -106,8 +106,9 @@ flagged AS (
 ),
 sess AS (
   SELECT entity_id, ts, f_value,
-         sum(new_sess) OVER (PARTITION BY entity_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         cast(sum(new_sess) OVER (PARTITION BY entity_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT entity_id, session_seq,
@@ -318,15 +319,9 @@ def q_tokens_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # deterministic masked feature matrix over `part`: 4 numeric features with
-# NULLs injected on arithmetic masks (engine-portable)
-_PART_MATRIX_SQL = """
-SELECT p_partkey AS row_id,
-       CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_retailprice END AS f0,
-       CASE WHEN p_partkey % 11 = 3 THEN NULL ELSE cast(p_size AS DOUBLE) END AS f1,
-       cast(length(p_name) AS DOUBLE) AS f2,
-       cast(p_partkey % 97 AS DOUBLE) AS f3
-FROM part
-"""
+# NULLs injected on arithmetic masks (engine-portable). Single source of truth
+# lives in oracle_fit (shared with the fit-twin oracle builders).
+from ficaria_spark.oracle_fit import PART_MATRIX_SQL as _PART_MATRIX_SQL  # noqa: E402
 
 _IMPUTE_FEATS = ["f0", "f1", "f2", "f3"]
 
@@ -371,13 +366,15 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _impute_query(make_imputer):
+def _impute_query(make_imputer, nd: int = 6):
+    # nd: literal-fill transforms round 6dp; arithmetic fills (parameter mix)
+    # round 4dp so cross-engine last-ulp drift can't straddle a round boundary
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = _part_matrix(spark, sf_dir)
         imp = make_imputer()
         out = imp.fit(m).transform(m)
         return out.select(
-            "row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS]
+            "row_id", *[F.round(F.col(c), nd).alias(c) for c in _IMPUTE_FEATS]
         )
     return run
 
@@ -394,7 +391,8 @@ def _register_imputers():
     QUERIES["impute_fcm_centroid"] = _impute_query(
         lambda: FCMCentroidImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
     QUERIES["impute_fcm_parameter"] = _impute_query(
-        lambda: FCMParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+        lambda: FCMParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS),
+        nd=4)
     QUERIES["impute_fcm_rough"] = _impute_query(
         lambda: FCMRoughParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
     QUERIES["impute_fcki"] = _impute_query(
@@ -507,7 +505,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = datagen.load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.4)
+    # max_shingle_freq guards the hot-shingle quadratic blowup at corpus scale;
+    # at sf0.01 (500 docs) no shingle can exceed it, so the unguarded oracle is
+    # still exact.
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.4, max_shingle_freq=1000)
 
 
 @register("dedup_minhash_lsh")
@@ -532,9 +533,7 @@ _COS_DOT_SQL = (
 )
 
 
-@register(
-    "knn_cosine",
-    oracle=f"""
+_KNN_COSINE_ORACLE = f"""
 WITH raw AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS rv
   FROM embeddings
@@ -558,8 +557,10 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= 3
-""",
-)
+"""
+
+
+@register("knn_cosine", oracle=_KNN_COSINE_ORACLE)
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.similarity import cosine_topk
 
@@ -767,8 +768,9 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("pipeline_flagship_fcm")
 def q_pipeline_flagship_fcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FCM-state variant: residual gaps (no earlier observation) filled from
-    broadcast fuzzy-c-means centroids fit on observed feature vectors
-    (rows-only check; value parity vs NumPy covered in tests)."""
+    broadcast fuzzy-c-means centroids fit on observed feature vectors.
+    Exact oracle generated per sf-dir by oracle_fit (fit twin + literal
+    centers); see dynamic_oracles()."""
     from ficaria_spark.operators.impute import FCMParameterImputer
 
     grid = datagen.feature_grid(spark, sf_dir)
@@ -785,7 +787,8 @@ def q_pipeline_flagship_fcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = imp.fit(feat).transform(feat)
     return out.select(
         "event_id", "entity_id", _us("ts").alias("ts_us"),
-        F.round("g0", 6).alias("f_value_filled"),
+        # 4dp: the fill is a membership-weighted mix (arithmetic, not literal)
+        F.round("g0", 4).alias("f_value_filled"),
     )
 
 
@@ -856,10 +859,11 @@ def q_impute_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS])
 
 
-@register("knn_cosine_blocked")
+@register("knn_cosine_blocked", oracle=_KNN_COSINE_ORACLE)
 def q_knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked-dgemm exact top-k (the scale path; equality with the
-    expression-based knn_cosine is asserted in tests)."""
+    """Blocked-dgemm exact top-k (the scale path). Shares the knn_cosine
+    oracle: the dgemm dot differs from the fold dot by ≲1e-15, far inside the
+    6dp rounding, so the exact-value hash must still match."""
     from ficaria_spark.operators.similarity import cosine_topk_blocked
 
     emb = datagen.load(spark, sf_dir, "embeddings")
@@ -982,3 +986,18 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_score", 6).alias("quality_score"),
         "quality_keep",
     )
+
+
+def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Fit-dependent exact oracles (imputer transforms, ANN): the fitted state
+    is a seeded deterministic driver-side computation, so oracle_fit re-runs
+    it from the same parquet (pandas/DuckDB, no Spark) and embeds the state as
+    SQL literals. Falls back silently per-oracle → the driver then records a
+    rows-only check for that query instead of an error."""
+    import os
+
+    from ficaria_spark.oracle_fit import DEFAULT_SF_DIR, build_dynamic_oracles
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", DEFAULT_SF_DIR)
+    return build_dynamic_oracles(sf_dir)

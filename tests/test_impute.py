@@ -194,3 +194,34 @@ def test_all_nan_row_filled(spark):
     assert out[FEATS].isna().sum().sum() == 0
     # with every dim masked, distances tie at the floor -> first centroid wins
     assert np.isfinite(out.loc[out.row_id == 9, FEATS].to_numpy()).all()
+
+
+def test_fcmdt_driver_roundtrips_batched(spark):
+    """The DT refinement must materialize per SWEEP, not per (sweep, column):
+    with max_iter=1 and d=4 columns the transform runs the initial pass, one
+    sweep checkpoint, and one Δ-aggregate — a handful of jobs, not O(d) joins.
+    Counted via a job group."""
+    pdf = _frame(seed=5, n=120)
+    sdf = _spark_frame(spark, pdf)
+    imp = FCMDTIterativeImputer(random_state=42, feature_cols=FEATS,
+                                max_iter=1, max_clusters=2)
+    imp.fit(sdf)
+
+    sc = spark.sparkContext
+    # AQE splits every shuffle stage into its own job, which would make the
+    # job count measure stages, not driver round-trips — disable it here
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("fcmdt-count", "count jobs in one transform+collect")
+    try:
+        out = imp.transform(sdf)
+        n_rows = out.count()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert n_rows == len(pdf)
+    job_ids = sc.statusTracker().getJobIdsForGroup("fcmdt-count")
+    # initial localCheckpoint + sweep localCheckpoint + Δ-agg + final count
+    # (+1 slack for Spark-internal extras); the old per-column scheme ran
+    # 2 jobs per column (checkpoint + join-agg) = 8+ extra jobs here
+    assert len(job_ids) <= 5, f"too many driver round-trips: {len(job_ids)} jobs"

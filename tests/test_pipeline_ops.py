@@ -90,6 +90,80 @@ def test_simhash_near_pairs_catch_near_dup(spark):
     assert len(zero) >= 1
 
 
+def test_simhash_near_pairs_exact_at_radius_10(spark):
+    """Contract test for the banded pigeonhole: at max_hamming=10 the operator
+    must return EXACTLY the pairs with hamming <= 10 (bands = h+1 guarantees
+    recall; the final hamming filter guarantees precision). The old 4-band
+    scheme silently dropped pairs with hamming in 4..10."""
+    sdf, pdf = _docs(spark, n=40, seed=9)
+    sigs = dd.simhash(sdf).toPandas().sort_values("id")
+    h = sigs.simhash.to_numpy().astype(np.uint64)
+    # brute-force all-pairs hamming
+    xor = h[:, None] ^ h[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for b in range(64):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ids = sigs.id.to_numpy()
+    expected = {
+        (int(ids[i]), int(ids[j]), int(ham[i, j]))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if ham[i, j] <= 10
+    }
+    got = dd.simhash_near_pairs(sdf, max_hamming=10).toPandas()
+    got_set = set(zip(got.id_a.astype(int), got.id_b.astype(int), got.hamming.astype(int)))
+    assert got_set == expected
+    # pairs in the 4..10 range must exist, otherwise this test proves nothing
+    assert any(4 <= hm <= 10 for _, _, hm in expected)
+
+
+def test_simhash_near_pairs_rejects_wide_radius(spark):
+    sdf, _ = _docs(spark, n=5)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd.simhash_near_pairs(sdf, max_hamming=32)
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """A boilerplate shingle shared by every doc must be pruned by the
+    frequency guard: results equal the python oracle computed WITHOUT the hot
+    shingle, and planted near-dup pairs survive."""
+    n = 24
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = []
+    for i in range(n):
+        words = list(rng.choice(vocab, size=20))
+        texts.append("COPY RIGHT BOILER " + " ".join(words))  # hot 3-gram in all docs
+    texts[5] = texts[4]  # planted dup
+    pdf = pd.DataFrame({"doc_id": range(n), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+
+    got = dd.ngram_jaccard_pairs(sdf, k=3, threshold=0.5, max_shingle_freq=5).toPandas()
+
+    def sh(t, k=3):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1))}
+
+    # python oracle: drop shingles with doc-freq > 5, then jaccard over the rest
+    allsh = [sh(t) for t in pdf.text]
+    from collections import Counter
+    freq = Counter(s for ss in allsh for s in ss)
+    kept = [{s for s in ss if freq[s] <= 5} for ss in allsh]
+    exp = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not kept[i] or not kept[j]:
+                continue
+            jac = len(kept[i] & kept[j]) / len(kept[i] | kept[j])
+            if jac >= 0.5:
+                exp.add((i, j))
+    got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+    assert got_pairs == exp
+    assert (4, 5) in got_pairs  # planted dup survives the guard
+
+    hot = dd.hot_shingles(sdf, max_shingle_freq=5).toPandas()
+    assert len(hot) >= 1 and (hot["count"] > 5).all()
+
+
 def _embeddings(spark, n=80, dim=16, seed=3, clustered=False):
     rng = np.random.default_rng(seed)
     if clustered:
@@ -129,6 +203,19 @@ def test_ivf_ann_recall(spark):
     e = set(zip(exact.query_id, exact.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """With nprobe == n_lists every list is probed, so IVF must equal the
+    exact brute-force top-k — end-to-end check of the vectorized probe
+    expansion (np.repeat/ravel columnwise construction)."""
+    sdf, M = _embeddings(spark, n=60, clustered=True)
+    exact = sim.cosine_topk(sdf, k=3).toPandas().sort_values(["query_id", "rank"])
+    full = sim.ivf_ann_topk(sdf, k=3, n_lists=6, nprobe=6).toPandas() \
+              .sort_values(["query_id", "rank"])
+    assert list(exact.query_id) == list(full.query_id)
+    assert list(exact.neighbor_id) == list(full.neighbor_id)
+    assert np.allclose(exact.cosine.to_numpy(), full.cosine.to_numpy(), atol=1e-9)
 
 
 def test_token_count_and_quality(spark):

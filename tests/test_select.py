@@ -145,3 +145,21 @@ def test_wfrs_n_features_too_large(spark):
     sdf = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="n_features"):
         WeightedFuzzyRoughSelector(n_features=9, feature_cols=COLS).fit(sdf, "label")
+
+
+def test_high_density_region_block_invariant():
+    """The memory-blocked kNN/H-discovery must be invariant to block size
+    (bit-identical distances and stable order regardless of blocking)."""
+    import numpy as np
+
+    from ficaria_spark.functions import fuzzyrough as fr
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 5))
+    X[rng.random((300, 5)) < 0.05] = np.nan
+    y = rng.integers(0, 3, size=300)
+    is_num = np.ones(5, dtype=bool)
+    h_small = fr.high_density_region(X, is_num, y, k=5, block=7)
+    h_full = fr.high_density_region(X, is_num, y, k=5, block=1000)
+    assert np.array_equal(h_small, h_full)
+    assert len(h_full) > 0

@@ -38,6 +38,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # fit-twin oracles follow sf
+
     import __spark_entry__ as e
 
     spark = get_spark("oracle-check", shuffle_partitions=16)
