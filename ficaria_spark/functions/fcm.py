@@ -123,11 +123,16 @@ def find_optimal_clusters(
     sample_cap: int = 10_000,
 ) -> int:
     """Elbow search: FCM objective for each k over a ≤``sample_cap`` sample,
-    knee via kneedle, midpoint fallback (reference: utils.py:364–408)."""
+    knee via kneedle, midpoint fallback (reference: utils.py:364–408).
+
+    Sampling matches the reference bit-for-bit: pandas ``.sample`` with the
+    given random_state, applied even when the input fits (the reference
+    permutes the rows in that case, which changes the seeded FCM init)."""
+    import pandas as pd
+
     X = np.asarray(X, dtype=np.float64)
-    if len(X) > sample_cap:
-        rng = np.random.default_rng(random_state)
-        X = X[rng.choice(len(X), size=sample_cap, replace=False)]
+    n = min(len(X), sample_cap)
+    X = pd.DataFrame(X).sample(n=n, random_state=random_state).to_numpy()
     ks = list(range(min_clusters, max_clusters + 1))
     objs = []
     for k in ks:

@@ -134,11 +134,13 @@ class FigfsCore:
     def local_consistency(self, B: tuple[str, ...]) -> float:
         """Mean over class partitions of mean(local δ / global δ) per row.
 
-        Row identity is positional (the frame carries unique rows by
-        construction in the Spark selector, which feeds a row_id); the
-        reference matches rows by value-tuple first occurrence instead
-        (feature_selection.py:471–475) — identical unless duplicate rows
-        exist.
+        Row identity is positional; the reference matches each local row to
+        the FIRST global occurrence of its value tuple instead
+        (feature_selection.py:471–483). The two are numerically identical even
+        with duplicate rows: δ_B is a pure function of the row's B-values, so
+        every occurrence of a tuple has the same global δ as its first
+        occurrence (NaNs, the one case where tuple lookup would diverge, are
+        rejected by the selector's allow_nan=False input check).
         """
         if len(B) == 0:
             return 0.0

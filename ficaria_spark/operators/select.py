@@ -40,7 +40,8 @@ class FuzzyGranularitySelector:
 
     def __init__(self, k: int = 2, eps: float = 2.0, max_features: int | None = None,
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 10_000,
-                 delta_engine: str = "driver", nb: int = 8):
+                 delta_engine: str = "driver", nb: int = 8,
+                 fit_order_col: str | None = None):
         # reference validation shape (feature_selection.py:84–92): the repo's
         # `k` is the reference's `n_features` (count of features to keep)
         validate_params({"n_features": k, "eps": eps,
@@ -51,13 +52,17 @@ class FuzzyGranularitySelector:
         self.k, self.eps, self.max_features = k, eps, max_features
         self.feature_cols = list(feature_cols) if feature_cols else None
         self.fit_cap, self.delta_engine, self.nb = fit_cap, delta_engine, nb
+        self.fit_order_col = fit_order_col
         self.S_: list[str] | None = None
 
     def fit(self, df: DataFrame, target_col: str | None = None):
         cols = self.feature_cols or [c for c in df.columns if c != target_col]
         check_feature_frame(df, cols, require_numeric=False, allow_nan=False)
         sel_cols = [*cols] + ([target_col] if target_col else [])
-        sub = df.select(*sel_cols)
+        # fit_order_col makes the capped fit set canonical (first fit_cap rows
+        # in key order) — partition-layout invariant and twin-reproducible
+        src = df.orderBy(self.fit_order_col) if self.fit_order_col else df
+        sub = src.select(*sel_cols)
         if self.fit_cap is not None:
             sub = sub.limit(self.fit_cap)
         pdf = sub.toPandas()
@@ -117,13 +122,74 @@ class FuzzyGranularitySelector:
         return self.fit(df, target_col).transform(df)
 
 
+def wfrs_fit_pandas(pdf: pd.DataFrame, cols: list[str], target_col: str, *,
+                    k: int, alpha: float, rel_eval_builder=None) -> dict:
+    """The WFRS fit core over a bounded pandas frame — pure pandas/NumPy so
+    the exact-oracle twin (oracle_fit) can reproduce the fit without Spark.
+    ``rel_eval_builder(M, MH, yH, classes, is_num, W_diag)`` may inject the
+    distributed Rel evaluator; default is the local one."""
+    X = pdf[cols]
+    y = pdf[target_col].to_numpy()
+    k = min(k, len(X) - 1)
+    is_num = np.array([pd.api.types.is_numeric_dtype(X[c]) for c in cols])
+    M = X.to_numpy()  # object array when nominal cols exist
+    if is_num.all():
+        M = M.astype(np.float64)
+
+    classes = np.unique(y)
+    H = fr.high_density_region(M, is_num, y, k)
+    MH, yH = M[H], y[H]
+
+    # single + pair relations → relevance / redundancy / weights
+    m = len(cols)
+    relations_single = {
+        a: fr.gaussian_relation(M[:, [a]], MH[:, [a]], is_num[[a]], alpha)
+        for a in range(m)
+    }
+    relevance = {
+        a: fr.relevance_of(relations_single[a], yH, classes) for a in range(m)
+    }
+    redundancy = {}
+    for a in range(m):
+        for b in range(a + 1, m):
+            R_ab = fr.gaussian_relation(
+                M[:, [a, b]], MH[:, [a, b]], is_num[[a, b]], alpha)
+            redundancy[(a, b)] = (
+                relevance[a] + relevance[b] - fr.relevance_of(R_ab, yH, classes))
+    weights = fr.feature_weights(relevance, redundancy)
+    W_diag = np.array([fr.logistic_sq(weights[a]) for a in range(m)])
+
+    def driver_eval(subsets: list[list[int]]) -> list[float]:
+        out = []
+        for B in subsets:
+            R = fr.gaussian_relation(M[:, B], MH[:, B], is_num[B], alpha, W_diag[B])
+            out.append(fr.relevance_of(R, yH, classes))
+        return out
+
+    rel_eval = (rel_eval_builder(M, MH, yH, classes, is_num, W_diag)
+                if rel_eval_builder else driver_eval)
+
+    # greedy separability ranking: sig(a) = Rel(B∪a) − Rel(B)
+    selected: list[int] = []
+    remaining = list(range(m))
+    while remaining:
+        base = rel_eval([selected])[0] if selected else 0.0
+        cands = [selected + [a] for a in remaining]
+        rels = rel_eval(cands)
+        sig = {a: rels[i] - base for i, a in enumerate(remaining)}
+        best = max(sig, key=sig.get)
+        selected.append(best)
+        remaining.remove(best)
+    return {"H": H, "W_diag": W_diag, "selected": selected}
+
+
 class WeightedFuzzyRoughSelector:
     """WFRS: weighted fuzzy-rough relevance/redundancy ranking (reference:
     feature_selection.py:566–1316)."""
 
     def __init__(self, n_features: int = 2, k: int = 5, alpha: float = 0.5,
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 10_000,
-                 rel_engine: str = "driver"):
+                 rel_engine: str = "driver", fit_order_col: str | None = None):
         # reference validation (feature_selection.py:623–632)
         validate_params({"n_features": n_features, "k": k})
         if not isinstance(alpha, (int, float)) or isinstance(alpha, bool):
@@ -133,6 +199,7 @@ class WeightedFuzzyRoughSelector:
         self.n_features, self.k, self.alpha = n_features, k, alpha
         self.feature_cols = list(feature_cols) if feature_cols else None
         self.fit_cap, self.rel_engine = fit_cap, rel_engine
+        self.fit_order_col = fit_order_col
         self.feature_sequence_: list[int] | None = None
 
     def fit(self, df: DataFrame, target_col: str):
@@ -145,57 +212,19 @@ class WeightedFuzzyRoughSelector:
         if null_y:
             raise ValueError("y must not contain missing values")
 
-        sub = df.select(*cols, target_col)
+        src = df.orderBy(self.fit_order_col) if self.fit_order_col else df
+        sub = src.select(*cols, target_col)
         if self.fit_cap is not None:
             sub = sub.limit(self.fit_cap)
         pdf = sub.toPandas()
-        X = pdf[cols]
-        y = pdf[target_col].to_numpy()
-        k = min(self.k, len(X) - 1)
-        is_num = np.array([pd.api.types.is_numeric_dtype(X[c]) for c in cols])
-        M = X.to_numpy()  # object array when nominal cols exist
-        if is_num.all():
-            M = M.astype(np.float64)
 
-        classes = np.unique(y)
-        H = fr.high_density_region(M, is_num, y, k)
-        self.H_ = H
-        MH, yH = M[H], y[H]
-        alpha = self.alpha
-
-        # single + pair relations → relevance / redundancy / weights
-        m = len(cols)
-        relations_single = {
-            a: fr.gaussian_relation(M[:, [a]], MH[:, [a]], is_num[[a]], alpha)
-            for a in range(m)
-        }
-        relevance = {
-            a: fr.relevance_of(relations_single[a], yH, classes) for a in range(m)
-        }
-        redundancy = {}
-        for a in range(m):
-            for b in range(a + 1, m):
-                R_ab = fr.gaussian_relation(
-                    M[:, [a, b]], MH[:, [a, b]], is_num[[a, b]], alpha)
-                redundancy[(a, b)] = (
-                    relevance[a] + relevance[b] - fr.relevance_of(R_ab, yH, classes))
-        weights = fr.feature_weights(relevance, redundancy)
-        self.W_ = np.diag([fr.logistic_sq(weights[a]) for a in range(m)])
-
-        # greedy separability ranking: sig(a) = Rel(B∪a) − Rel(B) with
-        # weighted HEC. Rel evaluations batched per round; distributed when
-        # rel_engine='spark'.
-        rel_eval = self._make_rel_eval(df.sparkSession, M, MH, yH, classes, is_num)
-        selected: list[int] = []
-        remaining = list(range(m))
-        while remaining:
-            base = rel_eval([selected])[0] if selected else 0.0
-            cands = [selected + [a] for a in remaining]
-            rels = rel_eval(cands)
-            sig = {a: rels[i] - base for i, a in enumerate(remaining)}
-            best = max(sig, key=sig.get)
-            selected.append(best)
-            remaining.remove(best)
+        builder = self._spark_rel_eval_builder(df.sparkSession) \
+            if self.rel_engine == "spark" else None
+        res = wfrs_fit_pandas(pdf, cols, target_col, k=self.k, alpha=self.alpha,
+                              rel_eval_builder=builder)
+        self.H_ = res["H"]
+        self.W_ = np.diag(res["W_diag"])
+        selected = res["selected"]
         self.feature_sequence_ = selected
         self.Rw_ = np.diag([self.W_[f, f] for f in selected])
         self.feature_names_in_ = cols
@@ -209,56 +238,48 @@ class WeightedFuzzyRoughSelector:
         )
         return self
 
-    def _make_rel_eval(self, spark, M, MH, yH, classes, is_num):
-        """Batch evaluator: [subset, ...] -> [Rel(subset), ...]."""
-        alpha, W = self.alpha, lambda B: np.diag(self.W_)[B]
+    def _spark_rel_eval_builder(self, spark):
+        """Distributed Rel: X streams through mapInPandas; (H slice, weights)
+        broadcast; per-batch partial sums of POS+NOG per subset → one agg."""
+        alpha = self.alpha
 
-        def driver_eval(subsets: list[list[int]]) -> list[float]:
-            out = []
-            for B in subsets:
-                R = fr.gaussian_relation(M[:, B], MH[:, B], is_num[B], alpha, W(B))
-                out.append(fr.relevance_of(R, yH, classes))
-            return out
+        def builder(M, MH, yH, classes, is_num, W_diag):
+            pdf_all = pd.DataFrame(M)
+            sdf = spark.createDataFrame(pdf_all.rename(columns=str)).persist()
+            n_rows = len(M)
+            bc = spark.sparkContext.broadcast(
+                {"MH": MH, "yH": yH, "classes": classes, "is_num": is_num,
+                 "alpha": alpha, "Wd": W_diag})
 
-        if self.rel_engine != "spark":
-            return driver_eval
+            def spark_eval(subsets: list[list[int]]) -> list[float]:
+                subs = [list(B) for B in subsets]
 
-        # Distributed: X streams through mapInPandas; (H slice, weights)
-        # broadcast; per-batch partial sums of POS+NOG per subset → one agg.
-        pdf_all = pd.DataFrame(M)
-        sdf = spark.createDataFrame(pdf_all.rename(columns=str)).persist()
-        n_rows = len(M)
-        bc = spark.sparkContext.broadcast(
-            {"MH": MH, "yH": yH, "classes": classes, "is_num": is_num,
-             "alpha": alpha, "Wd": np.diag(self.W_)})
+                def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    st = bc.value
+                    for b in batches:
+                        if not len(b):
+                            continue
+                        Mb = b.to_numpy()
+                        sums = []
+                        for B in subs:
+                            R = fr.gaussian_relation(
+                                Mb[:, B], st["MH"][:, B], st["is_num"][B],
+                                st["alpha"], st["Wd"][B])
+                            p, g = fr.pos_nog(R, st["yH"], st["classes"])
+                            sums.append(float((p + g).sum()))
+                        yield pd.DataFrame([sums], columns=[f"s{i}" for i in range(len(subs))])
 
-        def spark_eval(subsets: list[list[int]]) -> list[float]:
-            subs = [list(B) for B in subsets]
+                schema = ", ".join(f"s{i} double" for i in range(len(subs)))
+                res = (
+                    sdf.mapInPandas(run, schema)
+                    .agg(*[F.sum(f"s{i}").alias(f"s{i}") for i in range(len(subs))])
+                    .collect()[0]
+                )
+                return [float(res[f"s{i}"]) / n_rows for i in range(len(subs))]
 
-            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                st = bc.value
-                for b in batches:
-                    if not len(b):
-                        continue
-                    Mb = b.to_numpy()
-                    sums = []
-                    for B in subs:
-                        R = fr.gaussian_relation(
-                            Mb[:, B], st["MH"][:, B], st["is_num"][B],
-                            st["alpha"], st["Wd"][B])
-                        p, g = fr.pos_nog(R, st["yH"], st["classes"])
-                        sums.append(float((p + g).sum()))
-                    yield pd.DataFrame([sums], columns=[f"s{i}" for i in range(len(subs))])
+            return spark_eval
 
-            schema = ", ".join(f"s{i} double" for i in range(len(subs)))
-            res = (
-                sdf.mapInPandas(run, schema)
-                .agg(*[F.sum(f"s{i}").alias(f"s{i}") for i in range(len(subs))])
-                .collect()[0]
-            )
-            return [float(res[f"s{i}"]) / n_rows for i in range(len(subs))]
-
-        return spark_eval
+        return builder
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.feature_sequence_ is None:

@@ -147,8 +147,9 @@ def lsh_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
                  seed: int = 7) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY table; exact
     cosine re-rank on candidates only."""
+    # both sides of the bucket self-join reference this plan — persist once
     buckets = lsh_bucketize(df, id_col=id_col, vec_col=vec_col, dim=dim,
-                            n_planes=n_planes, n_tables=n_tables, seed=seed)
+                            n_planes=n_planes, n_tables=n_tables, seed=seed).persist()
     x, y = buckets.alias("x"), buckets.alias("y")
     cands = (
         x.join(y, (F.col("x.table") == F.col("y.table"))
@@ -217,6 +218,8 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     inverted lists; exact cosine within the probed lists."""
     tagged, centers = ivf_assign(df, id_col=id_col, vec_col=vec_col,
                                  n_lists=n_lists, seed=seed)
+    # probed queries AND probed neighbors both derive from this plan
+    tagged = tagged.persist()
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
     def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

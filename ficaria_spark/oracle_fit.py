@@ -43,6 +43,20 @@ FROM part
 FEATS = ["f0", "f1", "f2", "f3"]
 _FIT_CAP = 200_000
 
+# deterministic feature matrix over `customer` for the selector queries —
+# twin of queries._customer_matrix
+CUSTOMER_MATRIX_SQL = """
+SELECT c_custkey AS row_id,
+       c_acctbal AS f_bal,
+       cast(length(c_name) AS DOUBLE) AS f_namelen,
+       cast(c_nationkey AS DOUBLE) AS f_nation,
+       cast(c_custkey % 7 AS DOUBLE) AS f_mod,
+       c_mktsegment AS label
+FROM customer
+"""
+
+SEL_FEATS = ["f_bal", "f_namelen", "f_nation", "f_mod"]
+
 
 def _lit(x: float) -> str:
     """Shortest round-trip double literal (DuckDB parses back the same bits)."""
@@ -469,6 +483,155 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def minhash_portable_oracle_sql(*, k: int = 3, num_hashes: int = 64,
+                                bands: int = 16, threshold: float = 0.5,
+                                seed: int = 13) -> str:
+    """Exact twin of minhash_dedup_pairs(shingle_hash='md5',
+    hash_buckets=False): every stage — md5 shingle ints, pmod hash family,
+    band slices, signature-agreement estimate — is reproduced in DuckDB.
+    Data-independent (the a/b hash params derive from the seed alone), so
+    this is a STATIC oracle."""
+    from ficaria_spark.operators.dedup import _MERSENNE, _hash_params
+
+    a, b = _hash_params(num_hashes, seed)
+    p = _MERSENNE
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> (x * {int(a[i])} + {int(b[i])}) % {p}))"
+        for i in range(num_hashes))
+    rpb = num_hashes // bands
+    return f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+shg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - {k}, 0) + 2),
+           i -> (('0x' || substr(md5(array_to_string(w[i:i+{k - 1}], ' ')), 1, 15))::BIGINT) % {p}
+         )) AS sh
+  FROM w
+),
+sigs AS (
+  SELECT doc_id,
+         [{sig_exprs}] AS sig
+  FROM shg
+),
+banded AS (
+  SELECT s.doc_id, t.band, s.sig[(t.band * {rpb} + 1):(t.band * {rpb} + {rpb})] AS bucket
+  FROM sigs s CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) t
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         list_reduce(list_transform(list_zip(sa.sig, sb.sig),
+                                    q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END),
+                     (s, v) -> s + v) / len(sa.sig) AS est_jaccard
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+@lru_cache(maxsize=8)
+def _customer_matrix_sorted(sf_dir: str):
+    con = _duck(sf_dir, ("customer",))
+    return con.execute(CUSTOMER_MATRIX_SQL + " ORDER BY row_id").df()
+
+
+@lru_cache(maxsize=8)
+def fit_figfs_selected(sf_dir: str, *, k: int = 2, fit_cap: int = 2000) -> tuple[str, ...]:
+    """FuzzyGranularitySelector fit twin (driver-side FigfsCore over the
+    canonically-ordered capped frame) → the selected feature names."""
+    from ficaria_spark.functions.granularity import FigfsCore
+
+    pdf = _customer_matrix_sorted(sf_dir).head(fit_cap)
+    sub = pdf[[*SEL_FEATS, "label"]].reset_index(drop=True)
+    core = FigfsCore(sub, "label", eps=2.0, max_features=None)
+    return tuple(core.run()[:k])
+
+
+@lru_cache(maxsize=8)
+def fit_wfrs_selected(sf_dir: str, *, n_features: int = 2, k: int = 5,
+                      alpha: float = 0.5, fit_cap: int = 1000) -> tuple[str, ...]:
+    """WeightedFuzzyRoughSelector fit twin (wfrs_fit_pandas over the
+    canonically-ordered capped frame) → the selected feature names."""
+    from ficaria_spark.operators.select import wfrs_fit_pandas
+
+    pdf = _customer_matrix_sorted(sf_dir).head(fit_cap).reset_index(drop=True)
+    res = wfrs_fit_pandas(pdf, SEL_FEATS, "label", k=k, alpha=alpha)
+    return tuple(SEL_FEATS[i] for i in res["selected"][:n_features])
+
+
+def selector_oracle_sql(selected: tuple[str, ...], *, nd: int = 6) -> str:
+    """Projection oracle: given the twin-fitted selection (the small fitted
+    state, like the imputers' centers), the transform is a plain projection."""
+    cols = ",\n       ".join(f"round({c}, {nd}) AS {c}" for c in selected)
+    return f"""WITH m AS ({CUSTOMER_MATRIX_SQL})
+SELECT row_id,
+       {cols}
+FROM m
+"""
+
+
+def simhash_portable_oracle_sql(*, max_hamming: int = 10, seed: int = 29) -> str:
+    """Exact twin of simhash_near_pairs(word_hash='md5'): 60-bit signatures
+    from md5 word hashes, integer bit-majority voting, the same
+    ``bands = max_hamming + 1`` pigeonhole layout, bit_count(xor) filter.
+    Data-independent → STATIC oracle."""
+    from ficaria_spark.operators.dedup import simhash_band_layout
+
+    nbits = 60
+    widths, offsets = simhash_band_layout(max_hamming, nbits)
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * coalesce(list_sum(list_transform(hs, v -> (v >> {b}) & 1)), 0)"
+        f" - n > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(nbits))
+    band_rows = ",\n    ".join(
+        f"({b}, {offsets[b]}, {(1 << widths[b]) - 1})" for b in range(len(widths)))
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS wl
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(wl, x -> (('0x' || substr(md5(x || ':{seed}'), 1, 15))::BIGINT)) AS hs,
+         len(wl) AS n
+  FROM w
+),
+sig AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+  FROM h
+),
+bandspec AS (
+  SELECT * FROM (VALUES
+    {band_rows}
+  ) AS t(band, off, mask)
+),
+banded AS (
+  SELECT s.doc_id, b.band, (s.simhash >> b.off) & b.mask AS bucket
+  FROM sig s CROSS JOIN bandspec b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         sx.simhash AS sh_a, sy.simhash AS sh_b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  JOIN sig sx ON sx.doc_id = x.doc_id
+  JOIN sig sy ON sy.doc_id = y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
 def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
     """All fit-dependent oracles for one sf dir. Each builder is independent;
     a failure in one (e.g. missing table) skips only that oracle."""
@@ -483,6 +646,8 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
         "pipeline_flagship_fcm": lambda: flagship_fcm_oracle_sql(fit_flagship_centers(sf_dir)),
         "ann_ivf": lambda: ivf_oracle_sql(fit_ivf_centers(sf_dir), nprobe=2, k=3),
         "ann_lsh": lambda: lsh_oracle_sql(_hyperplanes(64, 8, 4, 7), k=3),
+        "select_figfs": lambda: selector_oracle_sql(fit_figfs_selected(sf_dir)),
+        "select_wfrs": lambda: selector_oracle_sql(fit_wfrs_selected(sf_dir)),
     }
     for name, build in builders.items():
         try:

@@ -431,7 +431,10 @@ def q_select_figfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.select import FuzzyGranularitySelector
 
     m = _customer_matrix(spark, sf_dir)
-    sel = FuzzyGranularitySelector(k=2, feature_cols=_SEL_FEATS, fit_cap=2000)
+    # fit_order_col makes the capped fit set canonical → the oracle twin
+    # (oracle_fit.fit_figfs_selected) reproduces the selection exactly
+    sel = FuzzyGranularitySelector(k=2, feature_cols=_SEL_FEATS, fit_cap=2000,
+                                   fit_order_col="row_id")
     sel.fit(m, "label")
     ranked = sel.S_
     return m.select(
@@ -444,7 +447,8 @@ def q_select_wfrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.select import WeightedFuzzyRoughSelector
 
     m = _customer_matrix(spark, sf_dir)
-    sel = WeightedFuzzyRoughSelector(n_features=2, k=5, feature_cols=_SEL_FEATS, fit_cap=1000)
+    sel = WeightedFuzzyRoughSelector(n_features=2, k=5, feature_cols=_SEL_FEATS,
+                                     fit_cap=1000, fit_order_col="row_id")
     sel.fit(m, "label")
     picked = [sel.feature_names_in_[i] for i in sel.feature_sequence_[:2]]
     return m.select(
@@ -518,6 +522,41 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datagen.load(spark, sf_dir, "documents")
     out = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _register_minhash_portable():
+    from ficaria_spark.oracle_fit import minhash_portable_oracle_sql
+
+    @register("dedup_minhash_portable", oracle=minhash_portable_oracle_sql())
+    def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash-LSH with the engine-portable md5 shingle hash and raw band
+        slices as bucket keys — exact DuckDB twin of every stage. The
+        xxhash64 variant above is the fast scale path (rows-only check)."""
+        from ficaria_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = datagen.load(spark, sf_dir, "documents")
+        out = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16, threshold=0.5,
+                                  shingle_hash="md5", hash_buckets=False)
+        return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _register_simhash_portable():
+    from ficaria_spark.oracle_fit import simhash_portable_oracle_sql
+
+    @register("dedup_simhash_portable", oracle=simhash_portable_oracle_sql())
+    def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Banded-pigeonhole SimHash with the engine-portable md5 word hash
+        (60-bit signatures) — exact DuckDB twin of every stage. The xxhash64
+        variant below is the fast scale path (rows-only check)."""
+        from ficaria_spark.operators.dedup import simhash_near_pairs
+
+        docs = datagen.load(spark, sf_dir, "documents")
+        out = simhash_near_pairs(docs, max_hamming=10, word_hash="md5")
+        return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_register_minhash_portable()
+_register_simhash_portable()
 
 
 @register("dedup_simhash")
