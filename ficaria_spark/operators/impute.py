@@ -91,11 +91,24 @@ class _ImputerBase:
         return sub.toPandas().to_numpy(dtype=np.float64)
 
     def _map_impute(self, df: DataFrame, kernel) -> DataFrame:
-        """One mapInPandas pass: kernel(np_matrix) -> imputed np_matrix.
-        Map-only — no shuffle; whole input streams through Arrow batches."""
+        """Complete/incomplete split + one mapInPandas pass over the
+        incomplete rows only: kernel(np_matrix) -> imputed np_matrix.
+
+        Map-only — no shuffle. Complete rows NEVER leave the JVM (the
+        reference's split_complete_incomplete, utils.py:7–25, as a plan
+        property): at a typical 1-in-7 missing rate this cuts the Arrow
+        round-trip — which measures as the whole cost of the transform, the
+        NumPy kernel is noise — by ~7×."""
         cols = self.feature_names_in_
         df = self._cast_features(df)
         schema = df.schema
+
+        mis_pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            mis_pred = p if mis_pred is None else (mis_pred | p)
+        complete = df.where(~mis_pred)
+        incomplete = df.where(mis_pred)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -106,7 +119,7 @@ class _ImputerBase:
                         pdf[c] = out[:, i]
                 yield pdf
 
-        return df.mapInPandas(run, schema)
+        return complete.unionByName(incomplete.mapInPandas(run, schema))
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
@@ -783,6 +796,12 @@ class FCMDTIterativeImputer(_ImputerBase):
                 leaf = int(pdf[jleaf].iloc[0])
                 if leaf < 0 or not pdf[jmask].any():
                     return pdf
+                # canonical in-group order: the leaf-local FCM's seeded init
+                # assigns memberships by row POSITION, so shuffle arrival
+                # order must not leak into results (same fix as FCKI).
+                # Rows tied on (features, leaf) are interchangeable — their
+                # converged memberships are value-determined.
+                pdf = pdf.sort_values([*cols, jleaf], kind="mergesort").reset_index(drop=True)
                 comp = st["X_complete"][st["leaf_ids"][j] == leaf]
                 M = pdf[cols].to_numpy(dtype=np.float64)
                 stacked = np.vstack([comp, M]) if len(comp) else M

@@ -114,10 +114,39 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 
 def rolling_fingerprints(df: DataFrame, text_col: str = "text", *, window: int = 5,
-                         out_col: str = "shingle_fps") -> DataFrame:
-    """Winnowing-style per-document shingle fingerprints: md5 of each
-    ``window``-word shingle (array column). Basis for containment / partial-
-    overlap detection; pure expressions via sequence+transform."""
+                         out_col: str = "shingle_fps", algo: str = "md5") -> DataFrame:
+    """Winnowing-style per-document shingle fingerprints (array column) —
+    basis for containment / partial-overlap detection; pure expressions.
+
+    ``algo="md5"`` — 32-hex-char strings, engine-portable (the exact-oracle
+    default). ``algo="xxhash64"`` — the corpus-scale path: one hash per WORD
+    plus a positional linear combination per shingle (array<long>, no
+    per-shingle string building — string allocation is what gates JVM scaling
+    on fat boxes)."""
+    if algo == "xxhash64":
+        p = (1 << 31) - 1
+        import numpy as _np
+
+        coefs = _np.random.default_rng(137).integers(1, p, size=window, dtype=_np.int64)
+        base = df.withColumn(
+            "__wh",
+            F.transform(word_tokens(F.col(text_col)),
+                        lambda w: F.pmod(F.xxhash64(w), F.lit(p))),
+        ).withColumn("__n", F.size("__wh"))
+        idx = F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(window), F.lit(0)))
+
+        def fp_at(i):
+            terms = [
+                F.pmod(F.try_element_at("__wh", i + 1 + j) * F.lit(int(coefs[j])), F.lit(p))
+                for j in range(window)
+            ]
+            total = terms[0]
+            for t in terms[1:]:
+                total = total + t
+            return F.coalesce(F.pmod(total, F.lit(p)), F.try_element_at("__wh", i + 1))
+
+        return base.withColumn(out_col, F.transform(idx, fp_at)).drop("__wh", "__n")
+
     base = df.withColumn("__w", word_tokens(F.col(text_col)))
     n = F.size("__w")
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))

@@ -520,7 +520,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.dedup import minhash_dedup_pairs
 
     docs = datagen.load(spark, sf_dir, "documents")
-    out = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+    # engine="arrow": the corpus-scale signing engine (values identical to
+    # the JVM fold; the fold's 64-constant expression also pays a ~2.5 s
+    # Janino recompile whenever other queries evict it from the codegen cache)
+    out = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16, threshold=0.5,
+                              engine="arrow")
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
@@ -790,10 +794,13 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.expr("transform(tokens, t -> cast(t as string))"), ",").alias("tokens_str"),
         "n_tok", "source",
     )
-    n_docs = toks.count()
+    # doc count rides along as a broadcast scalar (no driver-side action at
+    # plan build — mirrors the oracle's ndocs CTE)
+    ndocs = toks.agg(F.count("*").alias("__n"))
     out = (
         bf.crossJoin(F.broadcast(gmean))
-        .withColumn("doc_key", F.col("entity_id") % F.lit(n_docs))
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("doc_key", F.col("entity_id") % F.col("__n"))
         .join(F.broadcast(toks), "doc_key")
     )
     return out.select(

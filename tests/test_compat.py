@@ -1,0 +1,75 @@
+"""Reference-named drop-in surface: every public name from the reference
+package imports from ficaria_spark.compat (and the estimators from the
+package top level) and behaves like its twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REFERENCE_EXPORTS = [
+    "FuzzyGranularitySelector",
+    "WeightedFuzzyRoughSelector",
+    "FCMCentroidImputer",
+    "FCMParameterImputer",
+    "FCMRoughParameterImputer",
+    "FCMKIterativeImputer",
+    "FCMInterpolationIterativeImputer",
+    "FCMDTIterativeImputer",
+]
+REFERENCE_UTILS = [
+    "split_complete_incomplete",
+    "check_input_dataset",
+    "validate_params",
+    "euclidean_distance",
+    "fuzzy_c_means",
+    "fcm_predict",
+    "compute_fcm_objective",
+    "find_optimal_clusters_fuzzy",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_EXPORTS + REFERENCE_UTILS)
+def test_compat_name_importable(name):
+    import ficaria_spark.compat as compat
+
+    assert hasattr(compat, name)
+
+
+@pytest.mark.parametrize("name", REFERENCE_EXPORTS)
+def test_top_level_estimator_import(name):
+    import ficaria_spark
+
+    assert getattr(ficaria_spark, name) is not None
+
+
+def test_euclidean_distance_nan_ignoring():
+    from ficaria_spark.compat import euclidean_distance
+
+    assert euclidean_distance([0.0, 3.0], [4.0, np.nan]) == 4.0
+    assert euclidean_distance([1.0, 2.0], [1.0, 2.0]) == 0.0
+    assert euclidean_distance([0.0, 3.0], [4.0, 0.0]) == 5.0
+
+
+def test_split_complete_incomplete(spark):
+    from ficaria_spark.compat import split_complete_incomplete
+
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [1.0, 2.0, None], "id": [0, 1, 2]})
+    sdf = spark.createDataFrame(pdf)
+    comp, incomp = split_complete_incomplete(sdf, ["a", "b"])
+    assert sorted(r.id for r in comp.collect()) == [0]
+    assert sorted(r.id for r in incomp.collect()) == [1, 2]
+
+
+def test_check_input_dataset_messages(spark):
+    from ficaria_spark.compat import check_input_dataset
+
+    pdf = pd.DataFrame({"a": [1.0, None], "b": [1.0, 2.0]})
+    sdf = spark.createDataFrame(pdf)
+    assert check_input_dataset(sdf) is sdf
+    with pytest.raises(ValueError, match="must not contain missing values"):
+        check_input_dataset(sdf, allow_nan=False)
+    empty = spark.createDataFrame([], "a double")
+    with pytest.raises(ValueError, match="at least one sample"):
+        check_input_dataset(empty)

@@ -1,0 +1,111 @@
+"""FCMDT distributed-vs-driver parity: the Spark plumbing (leaf grouping,
+canonical in-group ordering, sweep-batched convergence) must reproduce a
+pure-driver run of the same refinement — and be invariant to how the input
+was partitioned."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ficaria_spark.functions import fcm as fcmk
+from ficaria_spark.operators.impute import FCMDTIterativeImputer, _pick_k_by_fsi
+
+FEATS = ["f0", "f1", "f2", "f3"]
+
+
+def _frame(seed=9, n=180, miss=0.12):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, size=(n, 4)) + np.array([0, 5, -5, 10])
+    mask = rng.random((n, 4)) < miss
+    mask[:12] = False
+    base[mask] = np.nan
+    pdf = pd.DataFrame(base, columns=FEATS)
+    pdf["row_id"] = np.arange(n)
+    return pdf
+
+
+def _driver_dt(pdf: pd.DataFrame, imp: FCMDTIterativeImputer) -> pd.DataFrame:
+    """Pure-driver twin of FCMDTIterativeImputer.transform: initial tree
+    imputation, then per-sweep per-column leaf-grouped FCM refinement in the
+    same canonical (feature-tuple) order — no Spark involved."""
+    d = len(FEATS)
+    X = pdf[FEATS].to_numpy(np.float64)
+    was_nan = np.isnan(X)
+    mis_rows = was_nan.any(axis=1)
+    W = X.copy()
+    leaves = np.full((len(pdf), d), -1, dtype=np.int64)
+    for j in range(d):
+        rows = np.where(was_nan[:, j])[0]
+        if not len(rows):
+            continue
+        feats = np.delete(W[rows], j, axis=1)
+        om = np.delete(imp.means_, j)
+        feats = np.where(np.isnan(feats), om[None, :], feats)
+        W[rows, j] = imp.trees_[j].predict(feats)
+        leaves[rows, j] = imp.trees_[j].apply(feats)
+
+    work = pd.DataFrame(W[mis_rows], columns=FEATS, index=np.where(mis_rows)[0])
+    wleaves = leaves[mis_rows]
+    wmask = was_nan[mis_rows]
+    params = dict(max_clusters=imp.max_clusters, m=imp.m, alpha=imp.alpha,
+                  max_iter=imp.max_FCM_iter, tol=imp.tol,
+                  random_state=imp.random_state)
+    prev_sum = prev_cnt = 0
+    tot_sum, tot_cnt = 0.0, 0
+    for _ in range(imp.max_iter):
+        for j in range(d):
+            for leaf in np.unique(wleaves[:, j]):
+                sel = wleaves[:, j] == leaf
+                grp = work[sel]
+                if leaf < 0 or not wmask[sel, j].any():
+                    continue
+                order = grp.sort_values(FEATS, kind="mergesort").index
+                M = work.loc[order, FEATS].to_numpy(np.float64)
+                comp = imp.X_complete_[imp.leaf_ids_[j] == leaf]
+                stacked = np.vstack([comp, M]) if len(comp) else M
+                if len(stacked) < 2:
+                    continue
+                k = _pick_k_by_fsi(stacked, **params)
+                centers, u = fcmk.fuzzy_c_means(
+                    stacked, k, m=imp.m, max_iter=imp.max_FCM_iter,
+                    tol=imp.tol, random_state=imp.random_state)
+                pred = u[len(comp):] @ centers[:, j]
+                cur = M[:, j]
+                m_ord = wmask[np.searchsorted(work.index.to_numpy(), order.to_numpy()), j]
+                upd = np.where(m_ord, cur + imp.learning_rate * (pred - cur), cur)
+                work.loc[order, FEATS[j]] = upd
+                tot_sum += float(np.abs(upd - cur).sum())
+                tot_cnt += int(m_ord.sum())
+        av_num, av_den = tot_sum - prev_sum, tot_cnt - prev_cnt
+        prev_sum, prev_cnt = tot_sum, tot_cnt
+        if av_den == 0 or av_num / av_den <= imp.stop_threshold:
+            break
+
+    out = pdf.copy()
+    out.loc[work.index, FEATS] = work[FEATS].to_numpy()
+    return out
+
+
+def test_dt_spark_matches_driver_twin(spark):
+    pdf = _frame()
+    sdf = spark.createDataFrame(pdf)
+    imp = FCMDTIterativeImputer(random_state=42, feature_cols=FEATS,
+                                max_iter=1, max_clusters=2)
+    imp.fit(sdf)
+    got = imp.transform(sdf).orderBy("row_id").toPandas()
+    exp = _driver_dt(pdf, imp).sort_values("row_id")
+    assert np.allclose(got[FEATS].to_numpy(float), exp[FEATS].to_numpy(float))
+
+
+def test_dt_stable_across_partitionings(spark):
+    """Canonical in-group ordering ⇒ identical output no matter how the
+    input was partitioned before the leaf shuffles."""
+    pdf = _frame(seed=13)
+    a = spark.createDataFrame(pdf).repartition(2)
+    b = spark.createDataFrame(pdf.sample(frac=1.0, random_state=8)).repartition(11)
+    mk = lambda: FCMDTIterativeImputer(random_state=4, feature_cols=FEATS,  # noqa: E731
+                                       max_iter=1, max_clusters=2)
+    ra = mk().fit(a).transform(a).orderBy("row_id").toPandas()
+    rb = mk().fit(b).transform(b).orderBy("row_id").toPandas()
+    assert np.allclose(ra[FEATS].to_numpy(float), rb[FEATS].to_numpy(float))

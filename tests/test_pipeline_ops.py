@@ -341,3 +341,38 @@ def test_blocked_pairwise_correct_over_parquet_source(spark, tmp_path):
     a = sim.cosine_topk(src, k=3).toPandas()
     b = sim.cosine_topk_blocked(src, k=3, nb=8).toPandas()
     assert set(zip(a.query_id, a.neighbor_id)) == set(zip(b.query_id, b.neighbor_id))
+
+
+def test_minhash_engines_identical(spark):
+    """JVM fold and Arrow/NumPy engines compute the SAME hash family — the
+    signatures must be identical element-for-element (and for both shingle
+    hashes)."""
+    sdf, _ = _docs(spark, n=30)
+    for shash in ("xxhash64", "md5"):
+        a = dd.minhash_signatures(sdf, shingle_hash=shash, engine="jvm") \
+              .orderBy("id").toPandas()
+        b = dd.minhash_signatures(sdf, shingle_hash=shash, engine="arrow") \
+              .orderBy("id").toPandas()
+        assert list(a.id) == list(b.id)
+        for x, y in zip(a.signature, b.signature):
+            assert list(x) == list(y), shash
+
+
+def test_rolling_fingerprints_xxhash_variant(spark):
+    """The long-valued scale variant matches the md5 variant structurally
+    (same shingle count; distinct docs get distinct fingerprint arrays)."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [" ".join(f"w{i}" for i in range(12)),
+                 " ".join(f"w{i}" for i in range(12)),
+                 " ".join(f"v{i}" for i in range(12))],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = tx.rolling_fingerprints(sdf, window=5, algo="xxhash64").orderBy("doc_id").toPandas()
+    assert [len(v) for v in got.shingle_fps] == [8, 8, 8]
+    assert list(got.shingle_fps[0]) == list(got.shingle_fps[1])   # identical docs
+    assert list(got.shingle_fps[0]) != list(got.shingle_fps[2])   # different docs
+    short = tx.rolling_fingerprints(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a b"]})),
+        window=5, algo="xxhash64").toPandas()
+    assert len(short.shingle_fps[0]) == 1  # sub-window doc -> single stub fp
