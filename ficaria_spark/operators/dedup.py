@@ -408,6 +408,54 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return base.mapInPandas(sig, "id long, simhash long")
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.95,
+                         dim: int | None = None, n_planes: int = 8,
+                         n_tables: int = 4, seed: int = 7,
+                         exact: bool = False) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine(embedding_a, embedding_b) ≥
+    threshold — semantic near-duplicates over an embedding column.
+
+    ``exact=True`` — brute-force pair join (broadcast one side): the
+    correctness baseline and the exact-oracle query path.
+    ``exact=False`` — candidates share a random-hyperplane LSH bucket in ANY
+    table, exact cosine verified on candidates only: near-linear, the corpus
+    scale path (high-cosine pairs collide in some table w.h.p.; recall is
+    tunable via n_planes/n_tables).
+    """
+    from ficaria_spark.operators.similarity import _as_double, _cos_expr, lsh_bucketize
+
+    vecs = _as_double(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    if exact:
+        pairs = va.join(F.broadcast(vb), F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path (exact=False)")
+        buckets = lsh_bucketize(df, id_col=id_col, vec_col=vec_col, dim=dim,
+                                n_planes=n_planes, n_tables=n_tables,
+                                seed=seed).persist()
+        x, y = buckets.alias("x"), buckets.alias("y")
+        cands = (
+            x.join(y, (F.col("x.table") == F.col("y.table"))
+                   & (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = cands.join(va, "id_a").join(vb, "id_b")
+    return (
+        pairs.select("id_a", "id_b", _cos_expr("vec_a", "vec_b").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_band_layout(max_hamming: int, nbits: int) -> tuple[list[int], list[int]]:
     """(widths, offsets) of the ``max_hamming + 1`` pigeonhole bands over
     ``nbits`` signature bits (shared with the oracle twin builder)."""

@@ -575,6 +575,35 @@ _COS_DOT_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (s, v) -> s + v)"
 )
 
+_COS_FULL_SQL = (
+    "(" + _COS_DOT_SQL + ")"
+    " / (sqrt(list_reduce(list_transform({a}, y -> y * y), (s, t) -> s + t))"
+    " * sqrt(list_reduce(list_transform({b}, y -> y * y), (s, t) -> s + t)))"
+)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS_FULL_SQL.format(a='a.vec', b='b.vec')}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_COS_FULL_SQL.format(a='a.vec', b='b.vec')} >= 0.4
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline path (the LSH-bucketed
+    variant is recall-tested in pytest; same verify expression)."""
+    from ficaria_spark.operators.dedup import embedding_near_pairs
+
+    emb = datagen.load(spark, sf_dir, "embeddings")
+    out = embedding_near_pairs(emb, threshold=0.4, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
 
 _KNN_COSINE_ORACLE = f"""
 WITH raw AS (

@@ -149,3 +149,46 @@ def test_streaming_sessionize_runs_as_a_real_stream(spark, tmp_path):
     # watermark-closed sessions must agree exactly with batch on counts
     merged = got.merge(batch, on=["user_id", "session_start"], suffixes=("_s", "_b"))
     assert (merged.n_events_s == merged.n_events_b).all()
+
+
+def test_streaming_exact_dedup_end_to_end(spark, tmp_path):
+    """File source → watermark → dropDuplicatesWithinWatermark → memory sink:
+    exactly one survivor per distinct normalized content (duplicates planted
+    within the horizon), and the stateless fingerprint tag matches the batch
+    digest."""
+    import datetime as dt
+
+    from ficaria_spark.streaming.dedup import (
+        streaming_exact_dedup,
+        streaming_fingerprint_tag,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(60):
+        # 20 distinct contents, each appearing 3× within minutes (same horizon)
+        content = f"doc body {i % 20} words here"
+        if i % 20 == 5:
+            content = "Doc  Body 5  words HERE"  # normalization twin of #5
+        rows.append((i, content, t0 + dt.timedelta(minutes=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    deduped = streaming_exact_dedup(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").toPandas()
+
+    # 20 distinct normalized contents -> exactly 20 survivors
+    assert len(got) == 20
+    assert got.content_hash.nunique() == 20
+
+    tagged = streaming_fingerprint_tag(static).toPandas()
+    assert tagged.content_hash.nunique() == 20
+    assert (tagged.n_tokens >= 4).all()

@@ -376,3 +376,23 @@ def test_rolling_fingerprints_xxhash_variant(spark):
         spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a b"]})),
         window=5, algo="xxhash64").toPandas()
     assert len(short.shingle_fps[0]) == 1  # sub-window doc -> single stub fp
+
+
+def test_embedding_near_pairs_exact_and_lsh(spark):
+    """Exact path equals the numpy all-pairs baseline; the LSH-bucketed path
+    recalls ≥90% of clustered high-cosine pairs (verified cosine exact on
+    candidates, so precision is 1 by construction)."""
+    sdf, M = _embeddings(spark, n=90, clustered=True)
+    S = M @ M.T
+    exp = {(i, j) for i in range(len(M)) for j in range(i + 1, len(M)) if S[i, j] >= 0.9}
+    assert exp, "clustered embeddings should contain high-cosine pairs"
+
+    exact = dd.embedding_near_pairs(sdf, threshold=0.9, exact=True).toPandas()
+    got = set(zip(exact.id_a.astype(int), exact.id_b.astype(int)))
+    assert got == exp
+
+    lsh = dd.embedding_near_pairs(sdf, threshold=0.9, dim=16,
+                                  n_planes=6, n_tables=8).toPandas()
+    got_lsh = set(zip(lsh.id_a.astype(int), lsh.id_b.astype(int)))
+    assert got_lsh <= exp                       # exact verify => no false pairs
+    assert len(got_lsh & exp) / len(exp) >= 0.9  # banded recall
