@@ -130,13 +130,17 @@ def validate_params(params: dict) -> None:
             if not ok(v):
                 raise ValueError(msg.format(v=v))
 
-    # engine extra (not in the reference's table, validated by its imputer
-    # constructors instead): n_clusters may be None (auto elbow search)
-    if "n_clusters" in params and params["n_clusters"] is not None:
-        v = params["n_clusters"]
-        if not _is_int(v):
-            raise TypeError(f"n_clusters must be int, got {type(v).__name__} instead")
-        if v < 1:
+    # n_clusters: the reference validates it ad-hoc in each constructor —
+    # "int" for the fixed-k imputers (missing_imputation.py:80–84), "int or
+    # None" for FCKI's auto elbow search (missing_imputation.py:756–759).
+    # `n_clusters_nullable` selects the FCKI message shape.
+    if "n_clusters" in params or "n_clusters_nullable" in params:
+        nullable = "n_clusters_nullable" in params
+        v = params.get("n_clusters_nullable" if nullable else "n_clusters")
+        kind = "int or None" if nullable else "int"
+        if v is not None and not _is_int(v):
+            raise TypeError(f"n_clusters must be {kind}, got {type(v).__name__} instead")
+        if v is not None and v < 1:
             raise ValueError(f"n_clusters must be >= 1, got {v} instead")
 
     if "n_jobs" in params:

@@ -423,7 +423,8 @@ class FCMKIterativeImputer(_ImputerBase):
                  random_state: int | None = None,
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
         super().__init__(feature_cols, fit_cap)
-        validate_params({"n_clusters": n_clusters, "m": m, "max_clusters": max_clusters,
+        validate_params({"n_clusters_nullable": n_clusters, "m": m,
+                         "max_clusters": max_clusters,
                          "max_k": max_k, "max_FCM_iter": max_FCM_iter,
                          "max_II_iter": max_II_iter, "tol": tol,
                          "random_state": random_state})

@@ -196,3 +196,34 @@ def test_figfs_duplicate_rows_local_consistency():
         first.setdefault(tuple(vals[i]), i)
     ref_map = np.array([first[tuple(vals[i])] for i in range(len(dup))])
     assert np.allclose(d_global, d_global[ref_map])
+
+
+def test_figfs_mixed_numeric_and_nominal(spark):
+    """FIGFS over mixed numeric + nominal feature columns (reference
+    test_mixed_numerical_and_categorical): nominal similarity is exact
+    equality, numeric is the adaptive-radius band; selection runs and
+    transform projects the picked columns."""
+    import numpy as np
+    import pandas as pd
+
+    from ficaria_spark.operators.select import FuzzyGranularitySelector
+
+    rng = np.random.default_rng(6)
+    n = 120
+    pdf = pd.DataFrame({
+        "num1": rng.normal(size=n),
+        "num2": rng.normal(size=n) * 5,
+        "cat1": rng.choice(["a", "b", "c"], size=n),
+        "y": rng.integers(0, 2, size=n),
+        "row_id": np.arange(n),
+    })
+    # make cat1 perfectly predictive so it should rank first
+    pdf["cat1"] = np.where(pdf["y"] == 1, "pos", pdf["cat1"])
+    pdf.loc[pdf.y == 0, "cat1"] = "neg"
+    sdf = spark.createDataFrame(pdf)
+    sel = FuzzyGranularitySelector(k=2, feature_cols=["num1", "num2", "cat1"],
+                                   fit_order_col="row_id")
+    out = sel.fit(sdf, "y").transform(sdf)
+    assert sel.S_[0] == "cat1"            # the predictive nominal wins
+    assert len(out.columns) == 2
+    assert out.count() == n

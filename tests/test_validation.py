@@ -162,3 +162,27 @@ def test_constructor_adhoc_checks():
         WeightedFuzzyRoughSelector(alpha=1.5)
     with pytest.raises(ValueError, match="n_features must be >= 1"):
         WeightedFuzzyRoughSelector(n_features=0)
+
+
+@pytest.mark.parametrize("params, exc, msg", [
+    ({"n_clusters": "3"}, TypeError, "n_clusters must be int, got"),
+    ({"n_clusters": 0}, ValueError, "n_clusters must be >= 1, got"),
+    ({"n_clusters_nullable": "3"}, TypeError, "n_clusters must be int or None, got"),
+    ({"n_clusters_nullable": 2.5}, TypeError, "n_clusters must be int or None, got"),
+    ({"n_clusters_nullable": 0}, ValueError, "n_clusters must be >= 1, got"),
+])
+def test_n_clusters_message_shapes(params, exc, msg):
+    """Fixed-k imputers say 'int' (reference missing_imputation.py:80–84);
+    FCKI's auto-k accepts None and says 'int or None' (ibid. 756–759)."""
+    with pytest.raises(exc) as excinfo:
+        validate_params(params)
+    assert msg in str(excinfo.value)
+
+
+def test_n_clusters_none_accepted_for_fcki():
+    from ficaria_spark.operators.impute import FCMKIterativeImputer
+
+    imp = FCMKIterativeImputer(n_clusters=None, random_state=1)
+    assert imp.n_clusters is None
+    with pytest.raises(TypeError, match="n_clusters must be int or None"):
+        FCMKIterativeImputer(n_clusters="three")
