@@ -93,3 +93,26 @@ def test_whole_stage_codegen_covers_q1(spark):
     # codegen stages render as "*(n) Operator" in the executed-plan string;
     # both partial and final aggregates must be inside codegen spans
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_map_imputer_complete_rows_stay_jvm(spark):
+    """The map-only imputer plan must be a union of (JVM-only complete
+    branch) and (one Python-eval incomplete branch): exactly ONE
+    MapInPandas/ArrowEval node, and the complete branch is a plain
+    filter — complete rows never pay the Arrow round-trip."""
+    import numpy as np
+    import pandas as pd
+
+    from ficaria_spark.operators.impute import FCMCentroidImputer
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(rng.normal(size=(80, 3)), columns=["a", "b", "c"])
+    pdf.loc[::7, "a"] = np.nan
+    pdf["row_id"] = np.arange(80)
+    sdf = spark.createDataFrame(pdf)
+    imp = FCMCentroidImputer(n_clusters=2, random_state=0,
+                             feature_cols=["a", "b", "c"]).fit(sdf)
+    plan = _plan(imp.transform(sdf))
+    n_python = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan))
+    assert n_python == 1, plan
+    assert "Union" in plan
