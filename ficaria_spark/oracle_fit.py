@@ -652,6 +652,10 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
     for name, build in builders.items():
         try:
             out[name] = build()
-        except Exception:  # pragma: no cover - degrade to rows-only check
-            pass
+        except Exception as ex:  # pragma: no cover - degrade to rows-only check
+            import sys
+
+            print(f"[oracle_fit] WARNING: {name} oracle builder failed "
+                  f"({type(ex).__name__}: {ex}) — query degrades to a "
+                  f"rows-only check", file=sys.stderr)
     return out

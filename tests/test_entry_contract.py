@@ -1,0 +1,60 @@
+"""Driver-contract invariants: queries()/oracle_sql() shape, oracle SQL
+parseability, and fit-twin oracle availability. Catches regressions that
+would silently degrade exact-oracle rows to rows-only checks."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# every query that must carry an exact oracle (the driver gate's green rows)
+EXPECTED_ORACLE = {
+    "pit_backfill", "lag_lead", "sessionize", "tumble", "asof_join",
+    "asof_join_cogroup", "interpolate_linear", "tpch_q1", "tpch_q3_shape",
+    "top_customers", "tokens_passthrough", "impute_mean",
+    "impute_fcm_centroid", "impute_fcm_parameter", "impute_fcm_rough",
+    "impute_iifcm", "select_figfs", "select_wfrs", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_portable", "dedup_simhash_portable",
+    "dedup_embedding", "knn_cosine", "knn_cosine_blocked", "ann_lsh",
+    "ann_ivf", "text_stats", "doc_fingerprint", "lang_profile",
+    "pipeline_flagship", "pipeline_flagship_fcm", "salted_agg",
+    "rolling_fingerprints", "quality_filter",
+}
+# sequential / xxhash64-based operators: rows-only by design, each covered by
+# an oracle-green portable twin or a Spark==driver-twin pytest parity test
+EXPECTED_ROWS_ONLY = {"impute_fcki", "impute_dt", "dedup_minhash_lsh", "dedup_simhash"}
+
+
+@pytest.fixture(scope="module")
+def contract():
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
+    import __spark_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_every_query_classified(contract):
+    qs, oracles = contract
+    assert set(qs) == EXPECTED_ORACLE | EXPECTED_ROWS_ONLY
+    assert EXPECTED_ORACLE <= set(oracles), sorted(EXPECTED_ORACLE - set(oracles))
+    assert not (EXPECTED_ROWS_ONLY & set(oracles))
+
+
+def test_every_oracle_parses_in_duckdb(contract):
+    """EXPLAIN every oracle against the real sf0.01 views — any SQL syntax or
+    schema regression fails fast without running the queries."""
+    _, oracles = contract
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover
+            raise AssertionError(f"oracle for {name!r} does not parse: {ex}") from ex
