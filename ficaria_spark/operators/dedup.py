@@ -382,30 +382,47 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
     shifts = np.arange(nbits, dtype=np.uint64)
+    # words per block: the (chunk × nbits) int32 bit matrix stays ~1 MB —
+    # same cache-blocked mapInArrow pattern as the MinHash signing engine
+    # (zero-copy flat child array + offsets; no per-row Python objects; no
+    # batch-wide DRAM-saturating temporaries)
+    chunk = 4096
 
-    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            if len(pdf):
-                # vectorized: flatten all word hashes, expand to a bit matrix
-                # once, segment-sum the votes per doc (np.add.reduceat)
-                lens = pdf["hashes"].map(len).to_numpy()
-                nz = lens > 0
-                if lens.sum():
-                    flat = np.concatenate(
-                        [np.asarray(a, dtype=np.int64) for a in pdf["hashes"] if len(a)]
-                    ).view(np.uint64)
-                    bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-                    starts = np.zeros(nz.sum(), dtype=np.int64)
-                    starts[1:] = np.cumsum(lens[nz])[:-1]
-                    ones = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
-                    votes = 2 * ones - lens[nz][:, None]
+    def sig(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            ids = rb.column(0)
+            hs = rb.column(1)
+            out = np.zeros(n, dtype=np.int64)
+            if n:
+                offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                flat = hs.values.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False).view(np.uint64)
+                lens = np.diff(offs)
+                nz_idx = np.where(lens > 0)[0]
+                g0 = 0
+                while g0 < len(nz_idx):
+                    g1 = g0 + 1
+                    d0 = nz_idx[g0]
+                    while (g1 < len(nz_idx)
+                           and offs[nz_idx[g1]] + lens[nz_idx[g1]] - offs[d0] <= chunk):
+                        g1 += 1
+                    sel = nz_idx[g0:g1]
+                    fl = flat[offs[sel[0]]:offs[sel[-1]] + lens[sel[-1]]]
+                    bits = ((fl[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                    local_starts = offs[sel] - offs[sel[0]]
+                    ones = np.add.reduceat(bits, local_starts, axis=0)
+                    votes = 2 * ones - lens[sel][:, None]
                     packed = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
                         axis=1, dtype=np.uint64)
-                    out[nz] = packed.astype(np.int64)
-            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+                    out[sel] = packed.astype(np.int64)
+                    g0 = g1
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.int64())], ["id", "simhash"])
 
-    return base.mapInPandas(sig, "id long, simhash long")
+    return base.mapInArrow(sig, "id long, simhash long")
 
 
 # ---------------------------------------------------------------------------
