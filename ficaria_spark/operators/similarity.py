@@ -109,6 +109,15 @@ def cosine_topk_blocked(df: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def _vec_matrix(list_arr, dim: int) -> np.ndarray:
+    """(n, dim) float64 view of an arrow list<double> column — the flat child
+    array reshaped (zero-copy for non-null fixed-dim vectors)."""
+    flat = list_arr.values.to_numpy(zero_copy_only=False)
+    offs = list_arr.offsets.to_numpy(zero_copy_only=False)
+    base = int(offs[0])
+    return flat[base:base + len(list_arr) * dim].reshape(len(list_arr), dim)
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(n_tables, n_planes, dim))
@@ -125,21 +134,31 @@ def lsh_bucketize(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embe
     base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
     pows = np.power(2, np.arange(n_planes), dtype=np.int64)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # mapInArrow: the fixed-dim list column's flat child reshapes to the
+        # (n, dim) matrix ZERO-COPY — no per-row pandas objects
+        import pyarrow as pa
+
         P = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            M = np.stack(pdf["vec"].to_numpy())
-            frames = []
+            M = _vec_matrix(rb.column(1), dim)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            tables = np.empty(n * P.shape[0], dtype=np.int32)
+            buckets = np.empty(n * P.shape[0], dtype=np.int64)
             for t in range(P.shape[0]):
                 signs = (M @ P[t].T) > 0  # (n, n_planes)
-                bucket = (signs.astype(np.int64) * pows[None, :]).sum(axis=1)
-                frames.append(pd.DataFrame({
-                    "id": pdf["id"].to_numpy(), "table": t, "bucket": bucket}))
-            yield pd.concat(frames, ignore_index=True)
+                buckets[t * n:(t + 1) * n] = (signs.astype(np.int64) * pows[None, :]).sum(axis=1)
+                tables[t * n:(t + 1) * n] = t
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.tile(ids, P.shape[0]), type=pa.int64()),
+                 pa.array(tables, type=pa.int32()),
+                 pa.array(buckets, type=pa.int64())],
+                ["id", "table", "bucket"])
 
-    return base.mapInPandas(run, "id long, table int, bucket long")
+    return base.mapInArrow(run, "id long, table int, bucket long")
 
 
 def lsh_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -197,17 +216,20 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
     centers = _kmeans(sample, n_lists, iters, seed)
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf["vec"].to_numpy())
-            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            pdf["list_id"] = d.argmin(axis=1).astype(np.int32)
-            yield pdf
+    def run(batches):
+        import pyarrow as pa
 
-    tagged = base.mapInPandas(run, "id long, vec array<double>, list_id int")
+        C = bc.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            M = _vec_matrix(rb.column(1), C.shape[1])
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lid = pa.array(d.argmin(axis=1).astype(np.int32), type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), lid], ["id", "vec", "list_id"])
+
+    tagged = base.mapInArrow(run, "id long, vec array<double>, list_id int")
     return tagged, centers
 
 
@@ -222,25 +244,26 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     tagged = tagged.persist()
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
-    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probes(batches):
+        import pyarrow as pa
+
         C = bc.value
         npb = nprobe
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            M = np.stack(pdf["vec"].to_numpy())
+            M = _vec_matrix(rb.column(1), C.shape[1])
             d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             near = np.argsort(d, axis=1, kind="mergesort")[:, :npb]
-            # columnwise expansion: repeat each query row nprobe times, ravel
-            # the probe matrix — no per-row Python
-            idx = np.repeat(np.arange(len(pdf)), near.shape[1])
-            yield pd.DataFrame({
-                "qid": pdf["id"].to_numpy()[idx],
-                "qvec": pdf["vec"].to_numpy()[idx],
-                "probe_list": near.ravel().astype(np.int32),
-            })
+            # columnwise expansion: arrow `take` repeats each query row
+            # nprobe times, the probe matrix ravels — no per-row Python
+            idx = pa.array(np.repeat(np.arange(rb.num_rows), near.shape[1]))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0).take(idx), rb.column(1).take(idx),
+                 pa.array(near.ravel().astype(np.int32), type=pa.int32())],
+                ["qid", "qvec", "probe_list"])
 
-    q = tagged.mapInPandas(probes, "qid long, qvec array<double>, probe_list int")
+    q = tagged.mapInArrow(probes, "qid long, qvec array<double>, probe_list int")
     n = tagged.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"),
                       F.col("list_id").alias("probe_list"))
     scored = (
