@@ -12,19 +12,16 @@ Scale shapes (the whole point of each design):
                  per shingle in one pass), banding → candidates join only
                  within buckets: near-linear. Verification re-computes exact
                  Jaccard on candidates only.
-* simhash      — 64-bit signature per doc via one mapInPandas (vectorized bit
-                 ops); near-dups = equal band keys on rotations.
+* simhash      — 64-bit signature per doc via one chunked mapInArrow pass
+                 (vectorized bit votes); near-dups = banded pigeonhole keys.
 * embedding    — cosine over LSH/bucketed candidates (see similarity.py).
 """
 
 from __future__ import annotations
 
 import logging
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ficaria_spark.operators.text import word_tokens

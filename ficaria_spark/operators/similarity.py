@@ -14,8 +14,6 @@
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -127,7 +125,7 @@ def lsh_bucketize(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embe
                   dim: int, n_planes: int = 8, n_tables: int = 4,
                   seed: int = 7) -> DataFrame:
     """(id, table, bucket) — sign pattern against random hyperplanes, one
-    mapInPandas pass, hyperplanes broadcast."""
+    zero-copy mapInArrow pass, hyperplanes broadcast."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes)
