@@ -942,6 +942,8 @@ def q_knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.similarity import cosine_topk_blocked
 
     emb = datagen.load(spark, sf_dir, "embeddings")
+    # nb=8 explicit: at this benchmark's small input (2k vecs) fewer/bigger
+    # blocks win; the nb=None default auto-sizes for corpus-scale inputs
     out = cosine_topk_blocked(emb, k=3, nb=8)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
