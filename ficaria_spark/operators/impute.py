@@ -43,6 +43,17 @@ class NotFittedError(RuntimeError):
 # shared plumbing
 # ---------------------------------------------------------------------------
 
+def _missing_pred(cols: Sequence[str]):
+    """A cell counts as missing if it is SQL NULL *or* float NaN — matching
+    the fit side (na.drop excludes both) and the NumPy kernels (np.isnan).
+    Features are cast to double before this is used, so F.isnan is legal."""
+    pred = None
+    for c in cols:
+        p = F.col(c).isNull() | F.isnan(c)
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
 class _ImputerBase:
     """Common fit/transform plumbing for all imputers."""
 
@@ -103,10 +114,7 @@ class _ImputerBase:
         df = self._cast_features(df)
         schema = df.schema
 
-        mis_pred = None
-        for c in cols:
-            p = F.col(c).isNull()
-            mis_pred = p if mis_pred is None else (mis_pred | p)
+        mis_pred = _missing_pred(cols)
         complete = df.where(~mis_pred)
         incomplete = df.where(mis_pred)
 
@@ -733,10 +741,7 @@ class FCMDTIterativeImputer(_ImputerBase):
         })
         from pyspark.sql import types as T
 
-        mis_pred = None
-        for c in cols:
-            p = F.col(c).isNull()
-            mis_pred = p if mis_pred is None else (mis_pred | p)
+        mis_pred = _missing_pred(cols)
         complete = df.where(~mis_pred)
         incomplete = df.where(mis_pred)
 

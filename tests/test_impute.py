@@ -225,3 +225,30 @@ def test_fcmdt_driver_roundtrips_batched(spark):
     # (+1 slack for Spark-internal extras); the old per-column scheme ran
     # 2 jobs per column (checkpoint + join-agg) = 8+ extra jobs here
     assert len(job_ids) <= 5, f"too many driver round-trips: {len(job_ids)} jobs"
+
+
+def test_float_nan_cells_are_imputed(spark):
+    """Parquet-sourced float NaN (not SQL NULL) must take the incomplete
+    branch of the complete/incomplete split: the transform's missing
+    definition is (isNull | isnan), matching the fit's na.drop and the NumPy
+    kernels. Regression test for the isNull-only split (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    pdf = _frame(seed=11, n=80, miss=0.0)  # fully complete
+    sdf = _spark_frame(spark, pdf)
+    # inject JVM-side NaN doubles (pandas->Arrow would have nulled them)
+    sdf = sdf.withColumn(
+        "f1", F.when(F.col("row_id") % 10 == 3, F.lit(float("nan")))
+               .otherwise(F.col("f1")))
+    for mk in (
+        lambda: FCMCentroidImputer(n_clusters=2, random_state=7, feature_cols=FEATS),
+        lambda: FCMDTIterativeImputer(random_state=7, feature_cols=FEATS,
+                                      max_iter=1, max_clusters=2),
+    ):
+        out = mk().fit(sdf).transform(sdf).orderBy("row_id").toPandas()
+        vals = out[FEATS].to_numpy(dtype=np.float64)
+        assert np.isfinite(vals).all(), f"{type(mk()).__name__} left NaN cells"
+        # untouched cells preserved
+        keep = out.row_id % 10 != 3
+        ref = pdf.set_index("row_id").loc[out.row_id[keep], FEATS].to_numpy()
+        assert np.allclose(out.loc[keep, FEATS].to_numpy(), ref)
