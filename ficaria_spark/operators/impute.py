@@ -429,7 +429,8 @@ class FCMKIterativeImputer(_ImputerBase):
                  max_clusters: int = 10, max_k: int = 10, max_FCM_iter: int = 100,
                  max_II_iter: int = 10, tol: float = 1e-5,
                  random_state: int | None = None,
-                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000,
+                 order_cols: Sequence[str] | None = None):
         super().__init__(feature_cols, fit_cap)
         validate_params({"n_clusters_nullable": n_clusters, "m": m,
                          "max_clusters": max_clusters,
@@ -439,6 +440,11 @@ class FCMKIterativeImputer(_ImputerBase):
         self.n_clusters, self.m, self.max_clusters, self.max_k = n_clusters, m, max_clusters, max_k
         self.max_FCM_iter, self.max_II_iter = max_FCM_iter, max_II_iter
         self.tol, self.random_state = tol, random_state
+        # canonical in-group sort = features + order_cols: pass a unique key
+        # (e.g. a row id) when feature-tuple ties are possible, so the
+        # sequential kernel's row order — and thus the output — is a total
+        # function of the data, not of shuffle arrival order.
+        self.order_cols = list(order_cols) if order_cols else []
 
     def fit(self, df: DataFrame):
         cols = self._features(df)
@@ -500,11 +506,13 @@ class FCMKIterativeImputer(_ImputerBase):
         # algorithm is order-sensitive (later rows see earlier imputations) —
         # impose a canonical order (sort by the feature tuple) so results are
         # reproducible across runs and cluster layouts.
+        sort_keys = cols + [c for c in self.order_cols if c in df.columns]
+
         def ki(pdf: pd.DataFrame) -> pd.DataFrame:
             st = bc.value
             if not len(pdf):
                 return pdf
-            pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+            pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
             cl = int(pdf["__cluster"].iloc[0])
             M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
             train_cl = st["train"][st["labels"] == cl]
@@ -692,7 +700,8 @@ class FCMDTIterativeImputer(_ImputerBase):
                  max_clusters: int = 5, m: float = 2.0, alpha: float = 1.0,
                  max_FCM_iter: int = 100, tol: float = 1e-5,
                  random_state: int | None = None,
-                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000):
+                 feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000,
+                 order_cols: Sequence[str] | None = None):
         super().__init__(feature_cols, fit_cap)
         validate_params({"m": m, "tol": tol, "random_state": random_state,
                          "learning_rate": learning_rate,
@@ -709,6 +718,9 @@ class FCMDTIterativeImputer(_ImputerBase):
         self.stop_threshold, self.max_iter = stop_threshold, max_iter
         self.max_clusters, self.m, self.alpha = max_clusters, m, alpha
         self.max_FCM_iter, self.tol, self.random_state = max_FCM_iter, tol, random_state
+        # see FCMKIterativeImputer.order_cols — tiebreak for the canonical
+        # in-group sort when feature-tuple ties are possible
+        self.order_cols = list(order_cols) if order_cols else []
 
     def fit(self, df: DataFrame):
         cols = self._features(df)
@@ -796,6 +808,8 @@ class FCMDTIterativeImputer(_ImputerBase):
                       max_iter=self.max_FCM_iter, tol=self.tol,
                       random_state=self.random_state)
 
+        refine_keys = cols + [c for c in self.order_cols if c in df.columns]
+
         def make_refine(j: int, jleaf: str, jmask: str):
             def refine(pdf: pd.DataFrame) -> pd.DataFrame:
                 st = bc.value
@@ -805,9 +819,9 @@ class FCMDTIterativeImputer(_ImputerBase):
                 # canonical in-group order: the leaf-local FCM's seeded init
                 # assigns memberships by row POSITION, so shuffle arrival
                 # order must not leak into results (same fix as FCKI).
-                # Rows tied on (features, leaf) are interchangeable — their
-                # converged memberships are value-determined.
-                pdf = pdf.sort_values([*cols, jleaf], kind="mergesort").reset_index(drop=True)
+                # Rows tied on (features, order_cols) are interchangeable —
+                # their converged memberships are value-determined.
+                pdf = pdf.sort_values(refine_keys, kind="mergesort").reset_index(drop=True)
                 comp = st["X_complete"][st["leaf_ids"][j] == leaf]
                 M = pdf[cols].to_numpy(dtype=np.float64)
                 stacked = np.vstack([comp, M]) if len(comp) else M

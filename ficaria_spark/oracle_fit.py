@@ -168,6 +168,177 @@ def fit_flagship_centers(sf_dir: str) -> np.ndarray:
     return centers
 
 
+# ---------------------------------------------------------------------------
+# FCKI / DT full-output driver twins (VALUES-literal oracles)
+#
+# Both transforms are sequential per group (in-cluster kNN+II; leaf-local FCM
+# refinement) — not expressible as a SQL formula. But given the seeded fit
+# and the canonical in-group order (features + row_id tiebreak, matching
+# order_cols=("row_id",) in the registered queries), the whole OUTPUT RELATION
+# is a deterministic driver-side computation: re-run it here in pandas/NumPy
+# and emit it as a `SELECT ... FROM (VALUES ...)` oracle.
+# Reference semantics: missing_imputation.py:891–1024 (KI), 1427–1698 (DT).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def fit_fcki_state(sf_dir: str):
+    """FCMKIterativeImputer(n_clusters=3, rs=42) fit twin. The engine's
+    _collect_all orders by the feature tuple ASC NULLS FIRST (Spark's asc
+    default) — replicated here so the seeded FCM init sees identical rows."""
+    con = _duck(sf_dir, ("part",))
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in FEATS)
+    X = con.execute(
+        f"WITH m AS ({PART_MATRIX_SQL}) SELECT {', '.join(FEATS)} FROM m "
+        f"ORDER BY {order} LIMIT {_FIT_CAP}"
+    ).df().to_numpy(dtype=np.float64)
+    means = np.nanmean(X, axis=0)
+    filled = np.where(np.isnan(X), means[None, :], X)
+    centers, u = fcmk.fuzzy_c_means(filled, 3, m=2.0, max_iter=100,
+                                    tol=1e-5, random_state=42)
+    return {
+        "centers": centers, "m": 2.0, "means": means, "train": X,
+        "labels": u.argmax(axis=1), "seed": 42, "max_k": 10, "max_ii": 10,
+        "vmin": float(np.nanmin(X)), "vmax": float(np.nanmax(X)),
+    }
+
+
+@lru_cache(maxsize=8)
+def fcki_expected(sf_dir: str):
+    """Driver twin of q_impute_fcki's full output (row_id, f0..f3 raw doubles):
+    cluster tagging by fcm_predict over mean-filled rows, canonical
+    (features, row_id) in-group order, sequential _ki_impute_group per cluster
+    — the exact code the executors run, minus Spark."""
+    import pandas as pd
+
+    from ficaria_spark.operators.impute import _ki_impute_group
+
+    st = fit_fcki_state(sf_dir)
+    pdf = _part_matrix_pdf(sf_dir).reset_index(drop=True)
+    X = pdf[FEATS].to_numpy(np.float64)
+    filled = np.where(np.isnan(X), st["means"][None, :], X)
+    labels = fcmk.fcm_predict(filled, st["centers"], st["m"]).argmax(axis=1)
+    out = pdf[["row_id", *FEATS]].copy()
+    for cl in np.unique(labels):
+        rows = np.where(labels == cl)[0]
+        sub = pdf.iloc[rows].sort_values([*FEATS, "row_id"], kind="mergesort")
+        M = sub[FEATS].to_numpy(np.float64)
+        res = _ki_impute_group(
+            M, st["train"][st["labels"] == cl], means=st["means"],
+            seed=st["seed"], max_k=st["max_k"], max_ii_iter=st["max_ii"],
+            vmin=st["vmin"], vmax=st["vmax"])
+        out.loc[sub.index, FEATS] = res
+    assert isinstance(out, pd.DataFrame)
+    return out
+
+
+@lru_cache(maxsize=8)
+def fit_dt_state(sf_dir: str, *, min_samples_leaf: int = 5):
+    """FCMDTIterativeImputer fit twin: per-column regression trees over the
+    canonically-ordered complete rows (engine fit, minus Spark)."""
+    from ficaria_spark.functions.mice import RegressionTree
+
+    Xc = _complete_sorted(_part_matrix_pdf(sf_dir), FEATS)
+    means = Xc.mean(axis=0)
+    trees, leaf_ids = {}, {}
+    for j in range(len(FEATS)):
+        others = np.delete(Xc, j, axis=1)
+        t = RegressionTree(min_samples_leaf=min_samples_leaf).fit(others, Xc[:, j])
+        trees[j] = t
+        leaf_ids[j] = t.apply(others)
+    return {"Xc": Xc, "means": means, "trees": trees, "leaf_ids": leaf_ids}
+
+
+@lru_cache(maxsize=8)
+def dt_expected(sf_dir: str, *, lr: float = 0.3, stop_threshold: float = 1e-3,
+                max_iter: int = 1, max_clusters: int = 3, m: float = 2.0,
+                alpha: float = 1.0, max_FCM_iter: int = 100, tol: float = 1e-5,
+                random_state: int = 42):
+    """Driver twin of q_impute_dt's full output: initial tree fill + leaf
+    tagging, then per-sweep per-column leaf-grouped FCM refinement in the
+    canonical (features, row_id) order, with the same Δ-aggregate stop."""
+    import pandas as pd
+
+    from ficaria_spark.operators.impute import _pick_k_by_fsi
+
+    st = fit_dt_state(sf_dir)
+    pdf = _part_matrix_pdf(sf_dir).reset_index(drop=True)
+    d = len(FEATS)
+    X = pdf[FEATS].to_numpy(np.float64)
+    was_nan = np.isnan(X)
+    mis = was_nan.any(axis=1)
+    W = X.copy()
+    leaves = np.full((len(pdf), d), -1, dtype=np.int64)
+    for j in range(d):
+        rows = np.where(was_nan[:, j])[0]
+        if not len(rows):
+            continue
+        feats = np.delete(W[rows], j, axis=1)
+        om = np.delete(st["means"], j)
+        feats = np.where(np.isnan(feats), om[None, :], feats)
+        W[rows, j] = st["trees"][j].predict(feats)
+        leaves[rows, j] = st["trees"][j].apply(feats)
+
+    work = pd.DataFrame(W[mis], columns=FEATS)
+    work["row_id"] = pdf.loc[mis, "row_id"].to_numpy()
+    wleaves = leaves[mis]
+    wmask = was_nan[mis]
+    params = dict(max_clusters=max_clusters, m=m, alpha=alpha,
+                  max_iter=max_FCM_iter, tol=tol, random_state=random_state)
+    prev_sum, prev_cnt, tot_sum, tot_cnt = 0.0, 0, 0.0, 0
+    for _ in range(max_iter):
+        for j in range(d):
+            for leaf in np.unique(wleaves[:, j]):
+                if leaf < 0:
+                    continue
+                sel = np.where(wleaves[:, j] == leaf)[0]
+                if not wmask[sel, j].any():
+                    continue
+                ord_idx = work.iloc[sel].sort_values(
+                    [*FEATS, "row_id"], kind="mergesort").index
+                M = work.loc[ord_idx, FEATS].to_numpy(np.float64)
+                comp = st["Xc"][st["leaf_ids"][j] == leaf]
+                stacked = np.vstack([comp, M]) if len(comp) else M
+                if len(stacked) < 2:
+                    continue
+                k = _pick_k_by_fsi(stacked, **params)
+                centers, u = fcmk.fuzzy_c_means(
+                    stacked, k, m=m, max_iter=max_FCM_iter, tol=tol,
+                    random_state=random_state)
+                pred = u[len(comp):] @ centers[:, j]
+                cur = M[:, j]
+                mk = wmask[ord_idx.to_numpy(), j]
+                upd = np.where(mk, cur + lr * (pred - cur), cur)
+                work.loc[ord_idx, FEATS[j]] = upd
+                tot_sum += float(np.abs(upd - cur).sum())
+                tot_cnt += int(mk.sum())
+        av_num, av_den = tot_sum - prev_sum, tot_cnt - prev_cnt
+        prev_sum, prev_cnt = tot_sum, tot_cnt
+        if av_den == 0 or av_num / av_den <= stop_threshold:
+            break
+
+    out = pdf[["row_id", *FEATS]].copy()
+    out.loc[np.where(mis)[0], FEATS] = work[FEATS].to_numpy()
+    return out
+
+
+def values_impute_oracle_sql(expected, *, nd: int = 6) -> str:
+    """Emit a full expected output relation as a VALUES oracle. Raw doubles go
+    in as shortest-round-trip literals; DuckDB applies the same round(·, nd)
+    the Spark query applies, so cross-engine rounding behavior is identical
+    to every other oracle here."""
+    rows = ",\n    ".join(
+        "(" + ", ".join([str(int(r[0]))] + [_lit(v) for v in r[1:]]) + ")"
+        for r in expected.itertuples(index=False))
+    cols = ",\n       ".join(
+        f"round(CAST({f} AS DOUBLE), {nd}) AS {f}" for f in FEATS)
+    return f"""SELECT CAST(row_id AS BIGINT) AS row_id,
+       {cols}
+FROM (VALUES
+    {rows}
+) AS t(row_id, {", ".join(FEATS)})
+"""
+
+
 @lru_cache(maxsize=8)
 def _embeddings_sorted(sf_dir: str) -> np.ndarray:
     con = _duck(sf_dir, ("embeddings",))
@@ -648,6 +819,8 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
         "ann_lsh": lambda: lsh_oracle_sql(_hyperplanes(64, 8, 4, 7), k=3),
         "select_figfs": lambda: selector_oracle_sql(fit_figfs_selected(sf_dir)),
         "select_wfrs": lambda: selector_oracle_sql(fit_wfrs_selected(sf_dir)),
+        "impute_fcki": lambda: values_impute_oracle_sql(fcki_expected(sf_dir)),
+        "impute_dt": lambda: values_impute_oracle_sql(dt_expected(sf_dir)),
     }
     for name, build in builders.items():
         try:

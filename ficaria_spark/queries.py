@@ -396,7 +396,9 @@ def _register_imputers():
     QUERIES["impute_fcm_rough"] = _impute_query(
         lambda: FCMRoughParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
     QUERIES["impute_fcki"] = _impute_query(
-        lambda: FCMKIterativeImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+        lambda: FCMKIterativeImputer(n_clusters=3, random_state=42,
+                                     feature_cols=_IMPUTE_FEATS,
+                                     order_cols=("row_id",)))
     QUERIES["impute_iifcm"] = _impute_query(
         lambda: FCMInterpolationIterativeImputer(
             n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS, order_col="row_id"))
@@ -929,7 +931,8 @@ def q_impute_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _part_matrix(spark, sf_dir)
     imp = FCMDTIterativeImputer(random_state=42, feature_cols=_IMPUTE_FEATS,
-                                max_iter=1, max_clusters=3)
+                                max_iter=1, max_clusters=3,
+                                order_cols=("row_id",))
     out = imp.fit(m).transform(m)
     return out.select("row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS])
 

@@ -24,11 +24,11 @@ EXPECTED_ORACLE = {
     "dedup_embedding", "knn_cosine", "knn_cosine_blocked", "ann_lsh",
     "ann_ivf", "text_stats", "doc_fingerprint", "lang_profile",
     "pipeline_flagship", "pipeline_flagship_fcm", "salted_agg",
-    "rolling_fingerprints", "quality_filter",
+    "rolling_fingerprints", "quality_filter", "impute_fcki", "impute_dt",
 }
-# sequential / xxhash64-based operators: rows-only by design, each covered by
-# an oracle-green portable twin or a Spark==driver-twin pytest parity test
-EXPECTED_ROWS_ONLY = {"impute_fcki", "impute_dt", "dedup_minhash_lsh", "dedup_simhash"}
+# xxhash64-based dedup variants: rows-only by design, each covered by an
+# oracle-green md5 portable twin of the same code path
+EXPECTED_ROWS_ONLY = {"dedup_minhash_lsh", "dedup_simhash"}
 
 
 @pytest.fixture(scope="module")
