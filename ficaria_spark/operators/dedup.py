@@ -184,7 +184,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 F.lit(_MERSENNE),
             ),
         )
-        base = words.select("id", F.array_distinct(sh).alias("sh"))
+        # null text → null shingle list → NULL signature (both engines): a
+        # sentinel signature would bucket every null doc together as fake
+        # est_jaccard=1.0 candidates
+        base = words.select(
+            "id",
+            F.when(F.col("__w").isNull(), F.lit(None))
+            .otherwise(F.array_distinct(sh)).alias("sh"))
     else:
         # allocation-light scale path: hash each WORD once (xxhash64 → <p),
         # then shingle value = positional linear combination of the k word
@@ -215,7 +221,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         # very short docs; coalesce keeps the reference semantics (a single
         # shingle for docs with < k words)
         sh = F.transform(idx2, lambda i: F.coalesce(shingle_at(i), F.element_at("__wh", i + 1)))
-        base = wh.select("id", F.array_distinct(sh).alias("sh"))
+        base = wh.select(
+            "id",
+            F.when(F.col("__wh").isNull(), F.lit(None))
+            .otherwise(F.array_distinct(sh)).alias("sh"))
 
     if engine == "arrow":
         a64 = a_params.astype(np.int64)
@@ -237,10 +246,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 ids = rb.column(0)
                 sh = rb.column(1)
                 sigs = np.full((n, num_hashes), _MERSENNE, dtype=np.int64)
+                nulls = np.zeros(n, dtype=bool)
                 if n:
+                    # null shingle lists (null-text docs) must yield NULL
+                    # signatures — same as the JVM fold — so they fall out of
+                    # banding instead of all-bucketing together as sentinels
+                    if sh.null_count:
+                        nulls = ~sh.is_valid().to_numpy(zero_copy_only=False)
                     offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
                     flat = sh.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
                     lens = np.diff(offs)
+                    lens[nulls] = 0
                     nz_idx = np.where(lens > 0)[0]
                     g0 = 0
                     while g0 < len(nz_idx):
@@ -257,9 +273,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                         local_starts = offs[sel] - offs[sel[0]]
                         sigs[sel] = np.minimum.reduceat(hv, local_starts, axis=0)
                         g0 = g1
-                sig_col = pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.ravel(), type=pa.int64()), num_hashes
-                ).cast(pa.list_(pa.int64()))
+                if nulls.any():
+                    row_lens = np.where(nulls, 0, num_hashes).astype(np.int64)
+                    out_offs = np.concatenate([[0], np.cumsum(row_lens)]).astype(np.int32)
+                    sig_col = pa.ListArray.from_arrays(
+                        pa.array(out_offs, mask=np.concatenate([nulls, [False]])),
+                        pa.array(sigs[~nulls].ravel(), type=pa.int64()))
+                else:
+                    sig_col = pa.FixedSizeListArray.from_arrays(
+                        pa.array(sigs.ravel(), type=pa.int64()), num_hashes
+                    ).cast(pa.list_(pa.int64()))
                 yield pa.RecordBatch.from_arrays([ids, sig_col], ["id", "signature"])
 
         return base.mapInArrow(sign, "id long, signature array<long>")

@@ -709,6 +709,176 @@ FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+# ---------------------------------------------------------------------------
+# xxhash64 dedup driver twins (VALUES-literal oracles)
+#
+# The scale-path dedup queries hash with Spark's native xxhash64, which no
+# other SQL engine implements — but xxHash64 is a public spec, so
+# functions/xxh.py re-implements it bit-for-bit (pytest-verified against
+# F.xxhash64). These twins re-run the full MinHash-LSH / SimHash pipelines
+# driver-side and emit the expected pair relation as VALUES oracles.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _documents_pdf(sf_dir: str):
+    con = _duck(sf_dir, ("documents",))
+    return con.execute("SELECT doc_id, text FROM documents").df()
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    return lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+@lru_cache(maxsize=8)
+def minhash_xxhash_expected(sf_dir: str, *, k: int = 3, num_hashes: int = 64,
+                            bands: int = 16, threshold: float = 0.5,
+                            seed: int = 13) -> tuple:
+    """Twin of minhash_dedup_pairs(shingle_hash='xxhash64',
+    hash_buckets=True): word xxhash64 → positional shingle combo → distinct →
+    (a·x+b) mod p signature minima → xxhash64(band slice) buckets →
+    signature-agreement estimate ≥ threshold. Null-text docs carry NULL
+    signatures and never become candidates."""
+    import re
+
+    from ficaria_spark.functions.xxh import (
+        spark_xxhash64_long_array,
+        spark_xxhash64_str,
+    )
+    from ficaria_spark.operators.dedup import _MERSENNE, _hash_params
+
+    p = _MERSENNE
+    a, b = _hash_params(num_hashes, seed)
+    coefs = np.random.default_rng(seed + 101).integers(1, p, size=k, dtype=np.int64)
+    pdf = _documents_pdf(sf_dir)
+    ids: list[int] = []
+    sig_rows = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None or (isinstance(text, float) and np.isnan(text)):
+            continue
+        wh = np.array([spark_xxhash64_str(w) % p
+                       for w in re.split(r"\s+", text.strip())], dtype=np.int64)
+        n = len(wh)
+        if n >= k:
+            m = n - k + 1
+            tot = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                tot += (wh[j:j + m] * coefs[j]) % p
+            sh = tot % p
+        else:
+            sh = wh[:1]
+        sh = np.unique(sh)
+        ids.append(int(doc_id))
+        sig_rows.append(((sh[:, None] * a[None, :] + b[None, :]) % p).min(axis=0))
+    S = np.vstack(sig_rows)
+    rpb = num_hashes // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(ids)):
+        for bd in range(bands):
+            key = (bd, spark_xxhash64_long_array(S[i, bd * rpb:(bd + 1) * rpb]))
+            buckets.setdefault(key, []).append(i)
+    pairs: set[tuple[int, int]] = set()
+    for grp in buckets.values():
+        for x in range(len(grp)):
+            for y in range(x + 1, len(grp)):
+                i1, i2 = grp[x], grp[y]
+                pairs.add((i1, i2) if ids[i1] < ids[i2] else (i2, i1))
+    rows = []
+    for ia, ib in pairs:
+        est = int((S[ia] == S[ib]).sum()) / num_hashes
+        if est >= threshold:
+            rows.append((ids[ia], ids[ib], est))
+    return tuple(sorted(rows))
+
+
+@lru_cache(maxsize=8)
+def simhash_xxhash_expected(sf_dir: str, *, max_hamming: int = 10,
+                            seed: int = 29) -> tuple:
+    """Twin of simhash_near_pairs(word_hash='xxhash64'): 64-bit signatures
+    from chained xxhash64(lower(word), seed), integer bit-majority votes,
+    bands = max_hamming + 1 pigeonhole buckets, popcount(xor) ≤ radius."""
+    import re
+
+    from ficaria_spark.functions.xxh import spark_xxhash64_str_int
+    from ficaria_spark.operators.dedup import simhash_band_layout
+
+    nbits = 64
+    shifts = np.arange(nbits, dtype=np.uint64)
+    pdf = _documents_pdf(sf_dir)
+    ids, sig_list = [], []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None or (isinstance(text, float) and np.isnan(text)):
+            sig = 0  # the kernel leaves null-token rows at 0
+        else:
+            hs = np.array(
+                [spark_xxhash64_str_int(w.lower(), seed)
+                 for w in re.split(r"\s+", text.strip())],
+                dtype=np.int64).view(np.uint64)
+            votes = 2 * ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int32).sum(axis=0) - len(hs)
+            sig = int(((votes > 0).astype(np.uint64) << shifts)
+                      .sum(dtype=np.uint64))
+        ids.append(int(doc_id))
+        sig_list.append(sig)
+    sigs_u = np.array(sig_list, dtype=np.uint64)
+    id_arr = np.array(ids, dtype=np.int64)
+    assert (id_arr >= 0).all() and (id_arr < (1 << 32)).all()
+    widths, offsets = simhash_band_layout(max_hamming, nbits)
+    pair_keys = []
+    for bd in range(len(widths)):
+        bucket = (sigs_u >> np.uint64(offsets[bd])) & np.uint64((1 << widths[bd]) - 1)
+        order = np.argsort(bucket, kind="mergesort")
+        bs = bucket[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], len(bs)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gi = id_arr[order[s:e]]
+            ii, jj = np.triu_indices(len(gi), k=1)
+            lo = np.minimum(gi[ii], gi[jj]).astype(np.int64)
+            hi = np.maximum(gi[ii], gi[jj]).astype(np.int64)
+            pair_keys.append((lo << 32) + hi)
+    if not pair_keys:
+        return ()
+    keys = np.unique(np.concatenate(pair_keys))
+    lo = (keys >> 32).astype(np.int64)
+    hi = (keys & ((1 << 32) - 1)).astype(np.int64)
+    sid = np.argsort(id_arr, kind="mergesort")
+    pos_lo = sid[np.searchsorted(id_arr[sid], lo)]
+    pos_hi = sid[np.searchsorted(id_arr[sid], hi)]
+    hm = _popcount64(sigs_u[pos_lo] ^ sigs_u[pos_hi])
+    keep = hm <= max_hamming
+    return tuple(zip(lo[keep].tolist(), hi[keep].tolist(),
+                     hm[keep].astype(int).tolist()))
+
+
+def minhash_xxhash_oracle_sql(rows) -> str:
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS DOUBLE) AS est_jaccard WHERE FALSE")
+    vals = ",\n    ".join(f"({ia}, {ib}, {_lit(est)})" for ia, ib, est in rows)
+    return f"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(CAST(est_jaccard AS DOUBLE), 6) AS est_jaccard
+FROM (VALUES
+    {vals}
+) AS t(id_a, id_b, est_jaccard)
+"""
+
+
+def simhash_xxhash_oracle_sql(rows) -> str:
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS INTEGER) AS hamming WHERE FALSE")
+    vals = ",\n    ".join(f"({ia}, {ib}, {hm})" for ia, ib, hm in rows)
+    return f"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES
+    {vals}
+) AS t(id_a, id_b, hamming)
+"""
+
+
 @lru_cache(maxsize=8)
 def _customer_matrix_sorted(sf_dir: str):
     con = _duck(sf_dir, ("customer",))
@@ -821,6 +991,10 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
         "select_wfrs": lambda: selector_oracle_sql(fit_wfrs_selected(sf_dir)),
         "impute_fcki": lambda: values_impute_oracle_sql(fcki_expected(sf_dir)),
         "impute_dt": lambda: values_impute_oracle_sql(dt_expected(sf_dir)),
+        "dedup_minhash_lsh": lambda: minhash_xxhash_oracle_sql(
+            minhash_xxhash_expected(sf_dir)),
+        "dedup_simhash": lambda: simhash_xxhash_oracle_sql(
+            simhash_xxhash_expected(sf_dir)),
     }
     for name, build in builders.items():
         try:

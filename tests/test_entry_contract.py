@@ -25,10 +25,11 @@ EXPECTED_ORACLE = {
     "ann_ivf", "text_stats", "doc_fingerprint", "lang_profile",
     "pipeline_flagship", "pipeline_flagship_fcm", "salted_agg",
     "rolling_fingerprints", "quality_filter", "impute_fcki", "impute_dt",
+    "dedup_minhash_lsh", "dedup_simhash",
 }
-# xxhash64-based dedup variants: rows-only by design, each covered by an
-# oracle-green md5 portable twin of the same code path
-EXPECTED_ROWS_ONLY = {"dedup_minhash_lsh", "dedup_simhash"}
+# every registered query now carries an exact oracle (sequential transforms
+# and xxhash64 pipelines via driver-twin VALUES relations)
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 @pytest.fixture(scope="module")

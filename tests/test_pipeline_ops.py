@@ -358,6 +358,27 @@ def test_minhash_engines_identical(spark):
             assert list(x) == list(y), shash
 
 
+def test_minhash_null_text_yields_null_signature_both_engines(spark):
+    """Null-text docs must get a NULL signature in BOTH engines (the arrow
+    kernel used to emit an all-sentinel signature, bucketing every null doc
+    together as est_jaccard=1.0 candidates — ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    sdf, _ = _docs(spark, n=6)
+    sdf = sdf.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("text")))
+    for eng in ("jvm", "arrow"):
+        out = dd.minhash_signatures(sdf, engine=eng).orderBy("id").toPandas()
+        for did, sig in zip(out.id, out.signature):
+            if did % 3 == 0:
+                assert sig is None, (eng, did)
+            else:
+                assert sig is not None and len(sig) == 64, (eng, did)
+    # and null docs never surface as candidate pairs
+    pairs = dd.minhash_dedup_pairs(sdf, threshold=0.0, engine="arrow").toPandas()
+    assert not ((pairs.id_a % 3 == 0) | (pairs.id_b % 3 == 0)).any()
+
+
 def test_rolling_fingerprints_xxhash_variant(spark):
     """The long-valued scale variant matches the md5 variant structurally
     (same shingle count; distinct docs get distinct fingerprint arrays)."""
