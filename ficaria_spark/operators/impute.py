@@ -423,6 +423,18 @@ class FCMKIterativeImputer(_ImputerBase):
                per cluster (cross-cluster parallelism ≡ reference joblib).
     Skewed cluster sizes are the skew risk here — AQE handles the join side;
     for aggregation-side skew see operators/skew.py.
+
+    **Scale ceiling and the ``bucket_size`` escape hatch.** With the
+    reference's semantics the transform's parallelism is capped at
+    ``n_clusters`` tasks, and each task holds a whole cluster in one pandas
+    frame — fine at fit scale, a ceiling at 100×. Passing ``bucket_size=N``
+    splits every cluster into deterministic hash buckets of ≈N rows that are
+    imputed independently, sharing only the broadcast fit-train pool. This is
+    a DOCUMENTED SEMANTICS DEVIATION from the reference: a row no longer sees
+    imputations of same-cluster rows in *other* buckets (it still sees
+    earlier rows in its own bucket and the whole train pool). Parallelism
+    becomes Σ ceil(cluster/N) tasks and per-task memory is bounded by N.
+    Default ``None`` preserves reference semantics exactly.
     """
 
     def __init__(self, n_clusters: int | None = None, m: float = 2.0,
@@ -430,8 +442,12 @@ class FCMKIterativeImputer(_ImputerBase):
                  max_II_iter: int = 10, tol: float = 1e-5,
                  random_state: int | None = None,
                  feature_cols: Sequence[str] | None = None, fit_cap: int = 200_000,
-                 order_cols: Sequence[str] | None = None):
+                 order_cols: Sequence[str] | None = None,
+                 bucket_size: int | None = None):
         super().__init__(feature_cols, fit_cap)
+        if bucket_size is not None and (not isinstance(bucket_size, int) or bucket_size < 1):
+            raise ValueError(f"bucket_size must be a positive int or None, got {bucket_size}")
+        self.bucket_size = bucket_size
         validate_params({"n_clusters_nullable": n_clusters, "m": m,
                          "max_clusters": max_clusters,
                          "max_k": max_k, "max_FCM_iter": max_FCM_iter,
@@ -483,25 +499,10 @@ class FCMKIterativeImputer(_ImputerBase):
             "vmin": self.min_value_, "vmax": self.max_value_,
         })
 
-        # ① tag rows with their cluster (map-only, Arrow-vectorized)
-        def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            st = bc.value
-            for pdf in batches:
-                if len(pdf):
-                    M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
-                    filled = np.where(np.isnan(M), st["means"][None, :], M)
-                    u = fcmk.fcm_predict(filled, st["centers"], st["m"])
-                    pdf["__cluster"] = u.argmax(axis=1).astype(np.int32)
-                else:
-                    pdf["__cluster"] = pd.Series([], dtype="int32")
-                yield pdf
+        tagged, group_keys = self._tag_and_bucket(df, bc)
+        tagged_schema = tagged.schema
 
-        from pyspark.sql import types as T
-        tagged_schema = T.StructType(
-            df.schema.fields + [T.StructField("__cluster", T.IntegerType())])
-        tagged = df.mapInPandas(tag, tagged_schema)
-
-        # ②③ one shuffle on cluster id; sequential KI kernel per cluster.
+        # ②③ one shuffle on (cluster[, bucket]); sequential KI kernel per group.
         # Row order WITHIN a shuffled group is nondeterministic, but the KI
         # algorithm is order-sensitive (later rows see earlier imputations) —
         # impose a canonical order (sort by the feature tuple) so results are
@@ -524,8 +525,43 @@ class FCMKIterativeImputer(_ImputerBase):
                 pdf[c] = out[:, i]
             return pdf
 
-        imputed = tagged.groupBy("__cluster").applyInPandas(ki, tagged_schema)
-        return imputed.drop("__cluster")
+        imputed = tagged.groupBy(*group_keys).applyInPandas(ki, tagged_schema)
+        return imputed.drop(*group_keys)
+
+    def _tag_and_bucket(self, df: DataFrame, bc) -> tuple[DataFrame, list[str]]:
+        """① tag rows with their argmax-membership cluster (map-only,
+        Arrow-vectorized); with ``bucket_size`` set, also assign deterministic
+        intra-cluster hash buckets (one lightweight count pre-pass: k rows to
+        the driver) so group parallelism is Σ ceil(cluster/bucket_size), not k."""
+        cols = self.feature_names_in_
+
+        def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            st = bc.value
+            for pdf in batches:
+                if len(pdf):
+                    M = pdf[cols].to_numpy(dtype=np.float64, na_value=np.nan)
+                    filled = np.where(np.isnan(M), st["means"][None, :], M)
+                    u = fcmk.fcm_predict(filled, st["centers"], st["m"])
+                    pdf["__cluster"] = u.argmax(axis=1).astype(np.int32)
+                else:
+                    pdf["__cluster"] = pd.Series([], dtype="int32")
+                yield pdf
+
+        from pyspark.sql import types as T
+        tagged_schema = T.StructType(
+            df.schema.fields + [T.StructField("__cluster", T.IntegerType())])
+        tagged = df.mapInPandas(tag, tagged_schema)
+        if not self.bucket_size:
+            return tagged, ["__cluster"]
+        counts = tagged.groupBy("__cluster").agg(F.count("*").alias("cnt")).collect()
+        nb = {int(r["__cluster"]): max(1, -(-int(r["cnt"]) // self.bucket_size))
+              for r in counts}
+        nb_map = F.create_map(*[F.lit(v) for kv in sorted(nb.items()) for v in kv])
+        # bucket id from the row's own values (features + tiebreak cols):
+        # deterministic under any partitioning, no extra shuffle
+        bucket = F.pmod(F.xxhash64(*cols, *self.order_cols),
+                        F.element_at(nb_map, F.col("__cluster"))).cast("int")
+        return tagged.withColumn("__bucket", bucket), ["__cluster", "__bucket"]
 
 
 # ---------------------------------------------------------------------------

@@ -121,11 +121,25 @@ def cosine_topk_blocked(df: DataFrame, *, id_col: str = "vec_id",
 
 def _vec_matrix(list_arr, dim: int) -> np.ndarray:
     """(n, dim) float64 view of an arrow list<double> column — the flat child
-    array reshaped (zero-copy for non-null fixed-dim vectors)."""
-    flat = list_arr.values.to_numpy(zero_copy_only=False)
+    array reshaped (zero-copy for non-null fixed-dim vectors).
+
+    Validates that every row has exactly ``dim`` non-null elements: a ragged
+    or null embedding would otherwise silently shift every subsequent row in
+    the batch (corrupting LSH buckets / IVF assignments with no error)."""
+    n = len(list_arr)
+    if list_arr.null_count:
+        raise ValueError(
+            f"embedding column contains {list_arr.null_count} null vector(s); "
+            "drop or impute them before similarity ops")
     offs = list_arr.offsets.to_numpy(zero_copy_only=False)
     base = int(offs[0])
-    return flat[base:base + len(list_arr) * dim].reshape(len(list_arr), dim)
+    if int(offs[-1]) - base != n * dim or (np.diff(offs) != dim).any():
+        bad = int(np.flatnonzero(np.diff(offs) != dim)[0])
+        raise ValueError(
+            f"ragged embedding column: row {bad} has {int(np.diff(offs)[bad])} "
+            f"elements, expected dim={dim}")
+    flat = list_arr.values.to_numpy(zero_copy_only=False)
+    return flat[base:base + n * dim].reshape(n, dim)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
@@ -202,10 +216,13 @@ def lsh_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
 
 
 def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Driver k-means in dgemm form: ‖x‖² − 2x·Cᵀ + ‖c‖² instead of the
+    (n, k, d) broadcast temp — O(n·k) memory, BLAS-shaped. Only the argmin is
+    consumed, so the ‖x‖² term (constant per row) is dropped entirely."""
     rng = np.random.default_rng(seed)
     centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(iters):
-        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d = (centers * centers).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
         lab = d.argmin(axis=1)
         for j in range(len(centers)):
             pts = X[lab == j]
@@ -215,11 +232,21 @@ def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
 
 
 def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-               n_lists: int = 16, sample_cap: int = 20_000, iters: int = 10,
+               n_lists: int | None = None, sample_cap: int = 20_000, iters: int = 10,
                seed: int = 11) -> tuple[DataFrame, np.ndarray]:
     """Train coarse centroids on a driver-side sample (bounded), broadcast,
-    and tag every row with its inverted-list id. Returns (tagged_df, centroids)."""
+    and tag every row with its inverted-list id. Returns (tagged_df, centroids).
+
+    ``n_lists=None`` scales the list count with the corpus — ≈√n, the
+    standard IVF sizing — so the downstream list-keyed join never degenerates
+    to a handful of hot keys at corpus scale (a fixed small n_lists makes
+    every list a hot key at 100×). Costs one count() job; pass an explicit
+    n_lists to skip it."""
+    import math
+
     base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    if n_lists is None:
+        n_lists = max(16, int(math.isqrt(df.count())))
     # canonical (id-ordered) sample: the fitted centers are invariant to input
     # partitioning, and the driver-independent oracle twin can reproduce them
     sample = np.stack(base.orderBy("id").limit(sample_cap).toPandas()["vec"].to_numpy())
@@ -244,10 +271,11 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
 
 
 def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                 k: int = 5, n_lists: int = 16, nprobe: int = 2,
+                 k: int = 5, n_lists: int | None = None, nprobe: int = 2,
                  seed: int = 11) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
-    inverted lists; exact cosine within the probed lists."""
+    inverted lists; exact cosine within the probed lists. ``n_lists=None``
+    auto-scales to ≈√n (see :func:`ivf_assign`)."""
     tagged, centers = ivf_assign(df, id_col=id_col, vec_col=vec_col,
                                  n_lists=n_lists, seed=seed)
     # probed queries AND probed neighbors both derive from this plan
@@ -276,11 +304,14 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     q = tagged.mapInArrow(probes, "qid long, qvec array<double>, probe_list int")
     n = tagged.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"),
                       F.col("list_id").alias("probe_list"))
+    # no distinct needed: a neighbor lives in exactly ONE list and a query
+    # probes nprobe DISTINCT lists, so (qid, nid) candidate pairs are already
+    # unique — a distinct here would be a redundant full shuffle of all
+    # candidates (tests/test_pipeline_ops assert output equality)
     scored = (
         q.join(n, "probe_list")
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", _cos_expr("qvec", "nvec").alias("cosine"))
-        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (

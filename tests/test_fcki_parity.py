@@ -65,3 +65,34 @@ def test_fcki_stable_across_partitionings(spark):
     ra = mk().fit(a).transform(a).orderBy("row_id").toPandas()
     rb = mk().fit(b).transform(b).orderBy("row_id").toPandas()
     assert np.allclose(ra[FEATS].to_numpy(float), rb[FEATS].to_numpy(float))
+
+
+def test_fcki_bucketed_breaks_cluster_parallelism_ceiling(spark):
+    """bucket_size splits each cluster into deterministic hash buckets:
+    group count exceeds n_clusters (parallelism no longer capped at k) and
+    the output is complete + partitioning-invariant. Default (None) keeps
+    reference semantics — covered by the parity tests above."""
+    pdf = _frame(seed=44, n=300)
+    sdf = spark.createDataFrame(pdf)
+    imp = FCMKIterativeImputer(n_clusters=2, random_state=7,
+                               feature_cols=FEATS, bucket_size=40)
+    imp.fit(sdf)
+
+    bc = spark.sparkContext.broadcast({
+        "centers": imp.centers_, "m": imp.m, "means": imp.means_,
+        "train": imp.X_train_, "labels": imp.labels_train_,
+        "seed": imp.random_state, "max_k": imp.max_k,
+        "max_ii": imp.max_II_iter,
+        "vmin": imp.min_value_, "vmax": imp.max_value_})
+    tagged, keys = imp._tag_and_bucket(imp._cast_features(sdf), bc)
+    assert keys == ["__cluster", "__bucket"]
+    ngroups = tagged.select(*keys).distinct().count()
+    assert ngroups > imp.n_clusters_, ngroups
+
+    out = imp.transform(sdf).orderBy("row_id").toPandas()
+    assert not np.isnan(out[FEATS].to_numpy(float)).any()
+
+    # deterministic: same result regardless of input partitioning
+    b = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)).repartition(11)
+    rb = imp.transform(b).orderBy("row_id").toPandas()
+    assert np.allclose(out[FEATS].to_numpy(float), rb[FEATS].to_numpy(float))

@@ -218,6 +218,60 @@ def test_ivf_full_probe_equals_exact(spark):
     assert np.allclose(exact.cosine.to_numpy(), full.cosine.to_numpy(), atol=1e-9)
 
 
+def test_ivf_candidate_pairs_already_unique(spark):
+    """Dropping the old .distinct() must not change output: a neighbor lives
+    in exactly one list and a query probes distinct lists, so (qid, nid)
+    candidates are unique by construction."""
+    sdf, _ = _embeddings(spark, n=80, clustered=True)
+    out = sim.ivf_ann_topk(sdf, k=3, n_lists=6, nprobe=3).toPandas()
+    dd_out = out.drop_duplicates(["query_id", "neighbor_id"])
+    assert len(out) == len(dd_out)
+    # and per-query ranks are dense 1..k
+    for _, grp in out.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_ivf_auto_n_lists_scales_with_corpus(spark):
+    sdf, _ = _embeddings(spark, n=400, clustered=True)
+    _, centers = sim.ivf_assign(sdf)  # n_lists=None → max(16, isqrt(400)) = 20
+    assert len(centers) == 20
+
+
+def test_kmeans_dgemm_matches_naive_reference(spark):
+    """The ‖c‖² − 2x·Cᵀ form must pick the same argmin labels as the naive
+    (n, k, d) broadcast form on realistic data, hence identical centers."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(500, 16)) + rng.integers(0, 4, size=(500, 1))
+
+    def naive(X, k, iters, seed):
+        r = np.random.default_rng(seed)
+        centers = X[r.choice(len(X), size=min(k, len(X)), replace=False)]
+        for _ in range(iters):
+            d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            for j in range(len(centers)):
+                pts = X[lab == j]
+                if len(pts):
+                    centers[j] = pts.mean(axis=0)
+        return centers
+
+    got = sim._kmeans(X, 8, 10, 11)
+    exp = naive(X, 8, 10, 11)
+    assert np.array_equal(got, exp)
+
+
+def test_vec_matrix_rejects_ragged_and_null(spark):
+    import pyarrow as pa
+    import pytest
+
+    ragged = pa.array([[1.0, 2.0], [3.0], [4.0, 5.0]])
+    with pytest.raises(ValueError, match="ragged"):
+        sim._vec_matrix(ragged, 2)
+    with_null = pa.array([[1.0, 2.0], None, [4.0, 5.0]])
+    with pytest.raises(ValueError, match="null"):
+        sim._vec_matrix(with_null, 2)
+
+
 def test_token_count_and_quality(spark):
     pdf = pd.DataFrame({
         "doc_id": [0, 1],
