@@ -54,6 +54,7 @@ def _sf_of(path: str) -> float:
 
 
 def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
+    from ficaria_spark.plans.cache import release_operator_caches
     from ficaria_spark.queries import QUERIES
     from ficaria_spark.session import get_spark
 
@@ -81,9 +82,10 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
                 per_query[n] = dt
             if rep == 0:
                 total_rows += rows
-            # operators persist() self-join inputs; drop them between queries
-            # so reps measure the query, not accumulated cache pressure
-            spark.catalog.clearCache()
+            # operators tracked_persist() self-join inputs; release them
+            # between queries so reps measure the query, not accumulated
+            # cache pressure (the library's documented cleanup contract)
+            release_operator_caches()
     total = sum(per_query.values())
     return {
         "metric": "headline-suite wall time (15 queries: flagship pipeline, temporal kernel, asof, relational, tokens, FCM impute, dedup, ANN, text; min of interleaved reps)",

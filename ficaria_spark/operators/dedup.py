@@ -19,14 +19,13 @@ Scale shapes (the whole point of each design):
 
 from __future__ import annotations
 
-import logging
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ficaria_spark.operators.text import word_tokens
+from ficaria_spark.plans.cache import tracked_persist
 
-_LOG = logging.getLogger(__name__)
+from ficaria_spark.operators.text import word_tokens
 
 # ---------------------------------------------------------------------------
 # exact
@@ -83,20 +82,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     yields an N²-row self-join). The default is a finite guard; pass ``None``
     only for exact small-corpus runs. Pruning slightly *underestimates*
     Jaccard for docs containing hot shingles (they leave both the intersection
-    and the union). Use :func:`hot_shingles` to audit exactly what is dropped;
-    at INFO log level the pruned-shingle count is also computed and logged.
+    and the union). Use :func:`hot_shingles` to audit exactly what is dropped
+    — plan construction itself never runs hidden jobs.
     """
     # the shingle plan is referenced up to 4× (freq guard, sizes, both join
     # sides) — persist once instead of recomputing the scan per reference
-    sh = shingles(df, text_col, id_col, k=k).persist()
+    sh = tracked_persist(shingles(df, text_col, id_col, k=k))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count()
-        if _LOG.isEnabledFor(logging.INFO):
-            n_pruned = freq.where(F.col("count") > max_shingle_freq).count()
-            _LOG.info(
-                "ngram_jaccard_pairs: pruning %d shingles with doc-freq > %d",
-                n_pruned, max_shingle_freq,
-            )
         keep = freq.where(F.col("count") <= max_shingle_freq)
         sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -360,7 +353,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     """
     sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes,
                               seed=seed, shingle_hash=shingle_hash,
-                              engine=engine).persist()
+                              engine=engine)
+    sigs = tracked_persist(sigs)
     cands = minhash_lsh_candidates(sigs, bands=bands, hash_buckets=hash_buckets)
     s1 = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     s2 = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
@@ -477,7 +471,8 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
             raise ValueError("dim is required for the LSH path (exact=False)")
         buckets = lsh_bucketize(df, id_col=id_col, vec_col=vec_col, dim=dim,
                                 n_planes=n_planes, n_tables=n_tables,
-                                seed=seed).persist()
+                                seed=seed)
+        buckets = tracked_persist(buckets)
         x, y = buckets.alias("x"), buckets.alias("y")
         cands = (
             x.join(y, (F.col("x.table") == F.col("y.table"))
@@ -521,7 +516,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}.")
     nbits = 60 if word_hash == "md5" else 64
     # both sides of the banded self-join reference the signature plan
-    sigs = simhash(df, text_col, id_col, seed=seed, word_hash=word_hash).persist()
+    sigs = tracked_persist(simhash(df, text_col, id_col, seed=seed, word_hash=word_hash))
     widths, offsets = simhash_band_layout(max_hamming, nbits)
     bands = max_hamming + 1
     band_structs = [

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ficaria_spark.plans.cache import tracked_persist
+
 from ficaria_spark.functions import fuzzyrough as fr
 from ficaria_spark.functions import granularity as gr
 from ficaria_spark.functions.validation import check_feature_frame, validate_params
@@ -77,7 +79,15 @@ class FuzzyGranularitySelector:
             delta_provider=provider)
         self.S_ = core.run()
         self.feature_names_in_ = cols
+        self._release_fit_caches()
         return self
+
+    def _release_fit_caches(self) -> None:
+        """Fit-internal persisted frames are fully consumed by fit's own
+        actions — drop them as soon as fit returns."""
+        for h in getattr(self, "_fit_caches", []):
+            h.unpersist(blocking=False)
+        self._fit_caches = []
 
     def _spark_delta_provider(self, spark, pdf: pd.DataFrame, tname: str):
         """Distributed δ row-sums: per call, ONE blocked-pairwise job batching
@@ -85,7 +95,8 @@ class FuzzyGranularitySelector:
         stats = {c: gr.column_stats(pdf[c], self.eps) for c in pdf.columns}
         work = pdf.copy()
         work["__rid"] = np.arange(len(work))
-        sdf = spark.createDataFrame(work).persist()
+        sdf = tracked_persist(spark.createDataFrame(work))
+        self._fit_caches = getattr(self, "_fit_caches", []) + [sdf]
         nb = self.nb
 
         def provider(subsets: dict) -> dict:
@@ -236,6 +247,9 @@ class WeightedFuzzyRoughSelector:
             .sort_values("importance", ascending=False)
             .reset_index(drop=True)
         )
+        for h in getattr(self, "_fit_caches", []):
+            h.unpersist(blocking=False)
+        self._fit_caches = []
         return self
 
     def _spark_rel_eval_builder(self, spark):
@@ -245,7 +259,8 @@ class WeightedFuzzyRoughSelector:
 
         def builder(M, MH, yH, classes, is_num, W_diag):
             pdf_all = pd.DataFrame(M)
-            sdf = spark.createDataFrame(pdf_all.rename(columns=str)).persist()
+            sdf = tracked_persist(spark.createDataFrame(pdf_all.rename(columns=str)))
+            self._fit_caches = getattr(self, "_fit_caches", []) + [sdf]
             n_rows = len(M)
             bc = spark.sparkContext.broadcast(
                 {"MH": MH, "yH": yH, "classes": classes, "is_num": is_num,

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ficaria_spark.plans.cache import tracked_persist
+
 
 def _cos_expr(a: str, b: str) -> Column:
     """JVM-side cosine between two array<double> columns (no Python)."""
@@ -192,7 +194,8 @@ def lsh_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     cosine re-rank on candidates only."""
     # both sides of the bucket self-join reference this plan — persist once
     buckets = lsh_bucketize(df, id_col=id_col, vec_col=vec_col, dim=dim,
-                            n_planes=n_planes, n_tables=n_tables, seed=seed).persist()
+                            n_planes=n_planes, n_tables=n_tables, seed=seed)
+    buckets = tracked_persist(buckets)
     x, y = buckets.alias("x"), buckets.alias("y")
     cands = (
         x.join(y, (F.col("x.table") == F.col("y.table"))
@@ -279,7 +282,7 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     tagged, centers = ivf_assign(df, id_col=id_col, vec_col=vec_col,
                                  n_lists=n_lists, seed=seed)
     # probed queries AND probed neighbors both derive from this plan
-    tagged = tagged.persist()
+    tagged = tracked_persist(tagged)
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
     def probes(batches):

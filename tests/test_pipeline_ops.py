@@ -471,3 +471,33 @@ def test_embedding_near_pairs_exact_and_lsh(spark):
     got_lsh = set(zip(lsh.id_a.astype(int), lsh.id_b.astype(int)))
     assert got_lsh <= exp                       # exact verify => no false pairs
     assert len(got_lsh & exp) / len(exp) >= 0.9  # banded recall
+
+
+def test_operator_caches_released(spark):
+    """Every operator-internal persist is tracked; release_operator_caches()
+    after the consuming action leaves zero persistent RDDs (selector fits
+    release their own caches before returning)."""
+    import time
+
+    from ficaria_spark.plans.cache import live_count, release_operator_caches
+
+    spark.catalog.clearCache()
+    release_operator_caches()
+
+    sdf, _ = _docs(spark, n=30)
+    dd.minhash_dedup_pairs(sdf, threshold=0.5).count()
+    dd.ngram_jaccard_pairs(sdf, threshold=0.5).count()
+    dd.simhash_near_pairs(sdf, max_hamming=5).count()
+    emb, _ = _embeddings(spark, n=50)
+    sim.lsh_ann_topk(emb, dim=16, k=3).count()
+    sim.ivf_ann_topk(emb, k=3, n_lists=4).count()
+    assert live_count() >= 5
+    assert release_operator_caches() >= 5
+    assert live_count() == 0
+
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(40):  # unpersist is async
+        if jsc.getPersistentRDDs().size() == 0:
+            break
+        time.sleep(0.25)
+    assert jsc.getPersistentRDDs().size() == 0
