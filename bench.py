@@ -41,6 +41,8 @@ HEADLINE = [
     "top_customers",
     "tokens_passthrough",
     "impute_fcm_parameter",
+    "impute_fcki",
+    "slide",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_blocked",
@@ -88,7 +90,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
             release_operator_caches()
     total = sum(per_query.values())
     return {
-        "metric": "headline-suite wall time (15 queries: flagship pipeline, temporal kernel, asof, relational, tokens, FCM impute, dedup, ANN, text; min of interleaved reps)",
+        "metric": "headline-suite wall time (17 queries: flagship pipeline, temporal kernel, slide, asof, relational, tokens, FCM/FCKI impute, dedup, ANN, text; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,

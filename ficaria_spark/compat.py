@@ -2,15 +2,23 @@
 
 Every public name from the reference package (``ficaria``'s __init__ exports
 plus its ``utils`` helpers, /root/reference/ficaria/__init__.py and
-utils.py:7–408) is available here under its reference name, so a reference
-user can switch with an import change:
+utils.py:7–408) is available here under its reference name — AND with the
+reference's constructor signature and defaults — so a reference user can
+switch with an import change:
 
     from ficaria import FCMCentroidImputer          # reference (pandas)
     from ficaria_spark.compat import FCMCentroidImputer  # this engine (Spark)
 
-The estimator classes take Spark DataFrames; the numeric helpers
-(`fuzzy_c_means`, `fcm_predict`, …) take NumPy arrays exactly like the
-reference's.
+The estimator classes here are thin wrappers over the Spark-native classes
+(``ficaria_spark.operators``) that accept the reference's parameter order and
+defaults (e.g. ``FuzzyGranularitySelector(n_features=5, eps=0.3)``,
+``WeightedFuzzyRoughSelector(3, 0.7)``); engine-only knobs (``feature_cols``,
+``fit_cap``, ``order_cols``, …) pass through as extra keywords. Reference
+parameters without a Spark-side meaning (``random_state`` on the selector,
+whose fit is deterministic by construction; ``n_jobs``, replaced by cluster
+parallelism) are accepted and ignored. The estimators take Spark DataFrames;
+the numeric helpers (`fuzzy_c_means`, `fcm_predict`, …) take NumPy arrays
+exactly like the reference's.
 """
 
 from __future__ import annotations
@@ -19,19 +27,107 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# estimator classes (reference __init__ exports)
-from ficaria_spark.operators.impute import (  # noqa: F401
-    FCMCentroidImputer,
-    FCMDTIterativeImputer,
-    FCMInterpolationIterativeImputer,
-    FCMKIterativeImputer,
-    FCMParameterImputer,
-    FCMRoughParameterImputer,
+from ficaria_spark.operators.impute import (
+    FCMCentroidImputer as _FCMCentroidImputer,
+    FCMDTIterativeImputer as _FCMDTIterativeImputer,
+    FCMInterpolationIterativeImputer as _FCMInterpolationIterativeImputer,
+    FCMKIterativeImputer as _FCMKIterativeImputer,
+    FCMParameterImputer as _FCMParameterImputer,
+    FCMRoughParameterImputer as _FCMRoughParameterImputer,
 )
-from ficaria_spark.operators.select import (  # noqa: F401
-    FuzzyGranularitySelector,
-    WeightedFuzzyRoughSelector,
+from ficaria_spark.operators.select import (
+    FuzzyGranularitySelector as _FuzzyGranularitySelector,
+    WeightedFuzzyRoughSelector as _WeightedFuzzyRoughSelector,
 )
+
+
+class FuzzyGranularitySelector(_FuzzyGranularitySelector):
+    """Reference signature (feature_selection.py:82): ``n_features`` maps to
+    the engine's ``k``; ``random_state`` is accepted and ignored (the engine's
+    fit is deterministic over the canonically-ordered capped frame)."""
+
+    def __init__(self, n_features=3, eps=0.5, max_features=10,
+                 random_state=None, **engine_kwargs):
+        del random_state
+        super().__init__(k=n_features, eps=eps, max_features=max_features,
+                         **engine_kwargs)
+
+
+class WeightedFuzzyRoughSelector(_WeightedFuzzyRoughSelector):
+    """Reference positional order (feature_selection.py:621):
+    (n_features, alpha=0.5, k=5)."""
+
+    def __init__(self, n_features, alpha=0.5, k=5, **engine_kwargs):
+        super().__init__(n_features=n_features, k=k, alpha=alpha,
+                         **engine_kwargs)
+
+
+class FCMCentroidImputer(_FCMCentroidImputer):
+    """Reference signature/defaults (missing_imputation.py:71)."""
+
+    def __init__(self, n_clusters=5, m=2.0, max_iter=100, tol=1e-5,
+                 random_state=None, **engine_kwargs):
+        super().__init__(n_clusters=n_clusters, m=m, max_iter=max_iter,
+                         tol=tol, random_state=random_state, **engine_kwargs)
+
+
+class FCMParameterImputer(_FCMParameterImputer):
+    """Reference signature/defaults (missing_imputation.py:222)."""
+
+    def __init__(self, n_clusters=5, m=2.0, max_iter=100, tol=1e-5,
+                 random_state=None, **engine_kwargs):
+        super().__init__(n_clusters=n_clusters, m=m, max_iter=max_iter,
+                         tol=tol, random_state=random_state, **engine_kwargs)
+
+
+class FCMRoughParameterImputer(_FCMRoughParameterImputer):
+    """Reference positional order/defaults (missing_imputation.py:411)."""
+
+    def __init__(self, n_clusters=5, m=2.0, max_iter=100, max_iter_rough_k=100,
+                 tol=1e-5, wl=0.6, wb=0.4, tau=0.5, random_state=None,
+                 **engine_kwargs):
+        super().__init__(n_clusters=n_clusters, m=m, wl=wl, wb=wb, tau=tau,
+                         max_iter=max_iter, max_iter_rough_k=max_iter_rough_k,
+                         tol=tol, random_state=random_state, **engine_kwargs)
+
+
+class FCMKIterativeImputer(_FCMKIterativeImputer):
+    """Reference signature/defaults (missing_imputation.py:741); ``n_jobs``
+    is accepted and ignored (cross-cluster parallelism is Spark's)."""
+
+    def __init__(self, n_clusters=None, max_clusters=10, m=2, max_FCM_iter=100,
+                 max_II_iter=80, max_k=20, tol=1e-5, random_state=None,
+                 n_jobs=-1, **engine_kwargs):
+        del n_jobs
+        super().__init__(n_clusters=n_clusters, m=float(m),
+                         max_clusters=max_clusters, max_k=max_k,
+                         max_FCM_iter=max_FCM_iter, max_II_iter=max_II_iter,
+                         tol=tol, random_state=random_state, **engine_kwargs)
+
+
+class FCMInterpolationIterativeImputer(_FCMInterpolationIterativeImputer):
+    """Reference signature/defaults (missing_imputation.py:1089)."""
+
+    def __init__(self, n_clusters=5, m=2.0, max_iter=100, alpha=0.85,
+                 tol=1e-5, sigma=False, random_state=None, **engine_kwargs):
+        super().__init__(n_clusters=n_clusters, m=m, alpha=alpha, sigma=sigma,
+                         max_iter=max_iter, tol=tol, random_state=random_state,
+                         **engine_kwargs)
+
+
+class FCMDTIterativeImputer(_FCMDTIterativeImputer):
+    """Reference signature/defaults (missing_imputation.py:1356)."""
+
+    def __init__(self, max_clusters=20, m=2, max_iter=100, max_FCM_iter=100,
+                 tol=1e-5, min_samples_leaf=40, learning_rate=0.1,
+                 stop_threshold=1.0, alpha=1.0, random_state=None,
+                 **engine_kwargs):
+        super().__init__(min_samples_leaf=min_samples_leaf,
+                         learning_rate=learning_rate,
+                         stop_threshold=stop_threshold, max_iter=max_iter,
+                         max_clusters=max_clusters, m=float(m), alpha=alpha,
+                         max_FCM_iter=max_FCM_iter, tol=tol,
+                         random_state=random_state, **engine_kwargs)
 
 # numeric kernel under the reference's utils names
 from ficaria_spark.functions.fcm import fcm_predict, fuzzy_c_means  # noqa: F401

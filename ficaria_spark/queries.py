@@ -152,6 +152,34 @@ def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "slide",
+    oracle="""
+WITH e AS (SELECT epoch(ts) AS ep, event_type, value FROM events),
+x AS (
+  SELECT cast(floor(ep / 900) * 900 - 900 * i AS BIGINT) AS window_start,
+         event_type, value
+  FROM e, unnest([0, 1, 2, 3]) AS t(i)
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM x
+GROUP BY 1, 2
+""",
+)
+def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (width 1h, slide 15m): every row lands in exactly
+    width/slide = 4 windows; Spark's F.window explode vs a DuckDB unnest
+    bucket expansion."""
+    ev = datagen.load(spark, sf_dir, "events")
+    bucketed = tumble(ev, "ts", width_seconds=3600, slide_seconds=900)
+    return bucketed.groupBy("window_start", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "asof_join",
     oracle="""
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS value_asof

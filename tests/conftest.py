@@ -11,6 +11,13 @@ from ficaria_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "gate: full Spark-vs-DuckDB oracle gate at sf0.001 (~3.5 min; "
+        "deselect with -m 'not gate' for a fast loop)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("ficaria-tests", shuffle_partitions=8)

@@ -73,3 +73,37 @@ def test_check_input_dataset_messages(spark):
     empty = spark.createDataFrame([], "a double")
     with pytest.raises(ValueError, match="at least one sample"):
         check_input_dataset(empty)
+
+
+def test_compat_reference_signatures():
+    """The reference's own constructor idioms must work verbatim through
+    compat: docstring example kwargs, positional order, and defaults."""
+    from ficaria_spark import compat as c
+
+    s = c.FuzzyGranularitySelector(n_features=5, eps=0.3, random_state=0)
+    assert s.k == 5 and s.eps == 0.3 and s.max_features == 10
+
+    w = c.WeightedFuzzyRoughSelector(3, 0.7)  # (n_features, alpha, k=5)
+    assert w.n_features == 3 and w.alpha == 0.7 and w.k == 5
+
+    r = c.FCMRoughParameterImputer(4, 2.0, 50, 60)  # positional reference order
+    assert (r.n_clusters, r.max_iter, r.max_iter_rough_k) == (4, 50, 60)
+    assert (r.wl, r.wb, r.tau) == (0.6, 0.4, 0.5)
+
+    ki = c.FCMKIterativeImputer(n_jobs=4)
+    assert (ki.max_II_iter, ki.max_k, ki.m) == (80, 20, 2.0)
+
+    ii = c.FCMInterpolationIterativeImputer()
+    assert (ii.n_clusters, ii.alpha) == (5, 0.85)
+
+    dt = c.FCMDTIterativeImputer()
+    assert (dt.min_samples_leaf, dt.learning_rate, dt.stop_threshold,
+            dt.max_clusters, dt.max_iter) == (40, 0.1, 1.0, 20, 100)
+
+    ci = c.FCMCentroidImputer()
+    assert ci.n_clusters == 5
+
+    # engine-only knobs still pass through
+    ki2 = c.FCMKIterativeImputer(n_clusters=3, feature_cols=["a", "b"],
+                                 order_cols=("rid",), bucket_size=100)
+    assert ki2.feature_cols == ["a", "b"] and ki2.bucket_size == 100

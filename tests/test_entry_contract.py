@@ -15,7 +15,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # every query that must carry an exact oracle (the driver gate's green rows)
 EXPECTED_ORACLE = {
-    "pit_backfill", "lag_lead", "sessionize", "tumble", "asof_join",
+    "pit_backfill", "lag_lead", "sessionize", "tumble", "slide", "asof_join",
     "asof_join_cogroup", "interpolate_linear", "tpch_q1", "tpch_q3_shape",
     "top_customers", "tokens_passthrough", "impute_mean",
     "impute_fcm_centroid", "impute_fcm_parameter", "impute_fcm_rough",

@@ -3,19 +3,21 @@ Spark and its oracle_sql() twin on DuckDB at sf0.01, compare row count,
 sorted-column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Also importable: :func:`run_gate` is reused by tests/test_oracle_gate.py so
+oracle regressions fail in pytest before the driver ever runs.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
-
-from ficaria_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -34,23 +36,24 @@ def canon(rows, cols):
     return sorted(out)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import os
-
+def run_gate(sf_dir: str, only: set[str] | None = None, spark=None,
+             echo=print) -> list[str]:
+    """Run the Spark-vs-DuckDB gate for every (or ``only``) registered query
+    at ``sf_dir``. Returns the list of failing query names (empty = green)."""
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # fit-twin oracles follow sf
 
     import __spark_entry__ as e
 
-    spark = get_spark("oracle-check", shuffle_partitions=16)
+    if spark is None:
+        from ficaria_spark.session import get_spark
+
+        spark = get_spark("oracle-check", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    n_fail = 0
+    failures: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -58,15 +61,15 @@ def main() -> int:
         srows = sdf.collect()
         scols = sdf.columns
         if name not in oracles:
-            print(f"{name:24s} rows={len(srows):7d}  (rows-only check, no oracle)")
+            echo(f"{name:24s} rows={len(srows):7d}  (rows-only check, no oracle)")
             continue
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as ex:
-            print(f"{name:24s} ORACLE SQL ERROR: {ex}")
-            n_fail += 1
+            echo(f"{name:24s} ORACLE SQL ERROR: {ex}")
+            failures.append(name)
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
@@ -77,15 +80,21 @@ def main() -> int:
             ok_vals = a == b
             if not ok_vals:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                print(f"{name:24s} VALUE MISMATCH  sample={diffs}")
+                echo(f"{name:24s} VALUE MISMATCH  sample={diffs}")
         status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
         if status == "FAIL":
-            n_fail += 1
-        print(
+            failures.append(name)
+        echo(
             f"{name:24s} {status}  rows={len(srows)}/{len(drows)} cols_match={ok_cols}"
             + ("" if ok_cols else f" spark={sorted(scols)} duck={sorted(dcols)}")
         )
-    return 1 if n_fail else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    return 1 if run_gate(sf_dir, only or None) else 0
 
 
 if __name__ == "__main__":
