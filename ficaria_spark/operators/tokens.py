@@ -1,0 +1,112 @@
+"""Token-sequence operators for training-data pipelines.
+
+The canonical input is the pre-tokenized corpus table
+``(doc_id string, tokens array<int>, n_tok int, source string)``
+(datagen.tokenized_sequences). Everything here is pure ``pyspark.sql``
+column expressions — no UDFs, no Python in the hot path.
+
+* :func:`pack_segments` — concat-and-chunk sequence packing PLAN: each doc
+  gets an exclusive prefix-sum offset within its ``by`` group, packs are the
+  ``context_len``-sized chunks of that concatenated token stream, and the
+  output maps every (doc × pack) overlap to an integer segment. ONE exchange
+  (the per-group window); deterministic total order (group, order_col).
+* :func:`pack_sequences` — materializes the packs: slices each doc's token
+  array per segment and reassembles the packed ``array<int>`` per pack.
+  Token-array equality with the oracle is exact (integer arithmetic only).
+* :func:`vocab_stats` — corpus vocabulary table (token, n_occurrences,
+  n_docs): explode + one hash aggregation (map-side partial agg).
+
+Scale notes. The prefix sum partitions by ``by`` (e.g. ``source``) — many
+groups parallelize; one monster group serializes its window like any
+hot-entity window chain (same mitigation as temporal.py: time/id-bucketed
+two-level offsets — per-bucket totals are tiny, prefix them driver-side and
+broadcast). Packing is the standard "greedy concat then chunk" scheme used
+by LLM data pipelines; documents never reorder, so lineage stays per-doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_segments(df: DataFrame, *, context_len: int,
+                  n_tok_col: str = "n_tok", id_col: str = "doc_id",
+                  by: str = "source", order_col: str | None = None) -> DataFrame:
+    """(by, pack_id, doc_id, doc_off, pack_off, seg_len) — every overlap of a
+    doc's token span with a ``context_len``-sized pack of the concatenated
+    per-group stream. Docs with ``n_tok <= 0`` contribute nothing.
+
+    All-integer output → exact cross-engine oracle. ``sum(seg_len)`` over a
+    pack equals ``context_len`` for every pack except each group's last.
+    """
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    order_col = order_col or id_col
+    L = F.lit(context_len)
+    w = (Window.partitionBy(by).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (
+        df.select(by, id_col, F.col(n_tok_col).cast("long").alias("__n"))
+        .where(F.col(n_tok_col) > 0)
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    )
+    first = F.floor(F.col("__off") / L)
+    last = F.floor((F.col("__off") + F.col("__n") - 1) / L)
+    seg = base.select(
+        by, id_col, "__n", "__off",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    g0 = F.greatest(F.col("__off"), F.col("pack_id") * L)
+    g1 = F.least(F.col("__off") + F.col("__n"), (F.col("pack_id") + 1) * L)
+    return seg.select(
+        by,
+        F.col("pack_id").cast("long").alias("pack_id"),
+        id_col,
+        (g0 - F.col("__off")).cast("long").alias("doc_off"),
+        (g0 - F.col("pack_id") * L).cast("long").alias("pack_off"),
+        (g1 - g0).cast("long").alias("seg_len"),
+    )
+
+
+def pack_sequences(df: DataFrame, *, context_len: int,
+                   tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                   id_col: str = "doc_id", by: str = "source",
+                   order_col: str | None = None) -> DataFrame:
+    """(by, pack_id, n_tok, tokens) — the materialized packed examples.
+
+    Join the segment plan back to the token arrays, slice each doc's
+    contribution, and reassemble per pack in ``pack_off`` order (array_sort
+    on (pack_off, piece) structs — pack_off is unique per pack, so the order
+    is total). Every pack but each group's last has exactly ``context_len``
+    tokens; per-row token-array equality against the reference stream holds
+    by construction (slices never reorder within a doc)."""
+    segs = pack_segments(df, context_len=context_len, n_tok_col=n_tok_col,
+                         id_col=id_col, by=by, order_col=order_col)
+    toks = df.select(id_col, F.col(tokens_col).alias("__toks"))
+    pieces = segs.join(toks, id_col).select(
+        by, "pack_id", "pack_off",
+        F.slice("__toks", F.col("doc_off").cast("int") + 1,
+                F.col("seg_len").cast("int")).alias("piece"),
+    )
+    assembled = (
+        pieces.groupBy(by, "pack_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pack_off", "piece"))).alias("ps"))
+        .select(
+            by, "pack_id",
+            F.flatten(F.transform("ps", lambda x: x["piece"])).alias(tokens_col),
+        )
+    )
+    return assembled.withColumn("n_tok", F.size(tokens_col).cast("long")) \
+        .select(by, "pack_id", "n_tok", tokens_col)
+
+
+def vocab_stats(df: DataFrame, *, tokens_col: str = "tokens",
+                id_col: str = "doc_id") -> DataFrame:
+    """(token, n_occurrences, n_docs) over the whole corpus — explode + one
+    hash aggregation (map-side combine keeps the shuffle at vocab size)."""
+    ex = df.select(id_col, F.explode(tokens_col).alias("token"))
+    return ex.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )

@@ -181,15 +181,17 @@ def fit_flagship_centers(sf_dir: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
-def fit_fcki_state(sf_dir: str):
+def fit_fcki_state(sf_dir: str, cap_row_id: int | None = None):
     """FCMKIterativeImputer(n_clusters=3, rs=42) fit twin. The engine's
     _collect_all orders by the feature tuple ASC NULLS FIRST (Spark's asc
-    default) — replicated here so the seeded FCM init sees identical rows."""
+    default) — replicated here so the seeded FCM init sees identical rows.
+    ``cap_row_id`` twins the bench-sized capped variant (row_id ≤ cap)."""
     con = _duck(sf_dir, ("part",))
     order = ", ".join(f"{c} ASC NULLS FIRST" for c in FEATS)
+    where = f"WHERE row_id <= {cap_row_id}" if cap_row_id else ""
     X = con.execute(
         f"WITH m AS ({PART_MATRIX_SQL}) SELECT {', '.join(FEATS)} FROM m "
-        f"ORDER BY {order} LIMIT {_FIT_CAP}"
+        f"{where} ORDER BY {order} LIMIT {_FIT_CAP}"
     ).df().to_numpy(dtype=np.float64)
     means = np.nanmean(X, axis=0)
     filled = np.where(np.isnan(X), means[None, :], X)
@@ -203,7 +205,7 @@ def fit_fcki_state(sf_dir: str):
 
 
 @lru_cache(maxsize=8)
-def fcki_expected(sf_dir: str):
+def fcki_expected(sf_dir: str, cap_row_id: int | None = None):
     """Driver twin of q_impute_fcki's full output (row_id, f0..f3 raw doubles):
     cluster tagging by fcm_predict over mean-filled rows, canonical
     (features, row_id) in-group order, sequential _ki_impute_group per cluster
@@ -212,8 +214,11 @@ def fcki_expected(sf_dir: str):
 
     from ficaria_spark.operators.impute import _ki_impute_group
 
-    st = fit_fcki_state(sf_dir)
-    pdf = _part_matrix_pdf(sf_dir).reset_index(drop=True)
+    st = fit_fcki_state(sf_dir, cap_row_id)
+    pdf = _part_matrix_pdf(sf_dir)
+    if cap_row_id:
+        pdf = pdf[pdf["row_id"] <= cap_row_id]
+    pdf = pdf.reset_index(drop=True)
     X = pdf[FEATS].to_numpy(np.float64)
     filled = np.where(np.isnan(X), st["means"][None, :], X)
     labels = fcmk.fcm_predict(filled, st["centers"], st["m"]).argmax(axis=1)
@@ -990,6 +995,8 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
         "select_figfs": lambda: selector_oracle_sql(fit_figfs_selected(sf_dir)),
         "select_wfrs": lambda: selector_oracle_sql(fit_wfrs_selected(sf_dir)),
         "impute_fcki": lambda: values_impute_oracle_sql(fcki_expected(sf_dir)),
+        "impute_fcki_capped": lambda: values_impute_oracle_sql(
+            fcki_expected(sf_dir, 2000)),
         "impute_dt": lambda: values_impute_oracle_sql(dt_expected(sf_dir)),
         "dedup_minhash_lsh": lambda: minhash_xxhash_oracle_sql(
             minhash_xxhash_expected(sf_dir)),

@@ -338,6 +338,101 @@ def q_tokens_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_L = 256
+
+_PACK_SEG_CTE = f"""WITH t AS (
+  SELECT cast(doc_id AS VARCHAR) AS doc_id, source,
+         {datagen.token_sql()} AS tokens,
+         cast(len({datagen.token_sql()}) AS BIGINT) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, tokens, n,
+         coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM t WHERE n > 0
+),
+seg AS (
+  SELECT source, doc_id, tokens, n, off, cast(u.p AS BIGINT) AS pack_id
+  FROM o, unnest(generate_series(cast(floor(off / {_PACK_L}) AS BIGINT),
+                                 cast(floor((off + n - 1) / {_PACK_L}) AS BIGINT))) AS u(p)
+),
+segc AS (
+  SELECT source, pack_id, doc_id, tokens,
+         cast(greatest(off, pack_id * {_PACK_L}) - off AS BIGINT) AS doc_off,
+         cast(greatest(off, pack_id * {_PACK_L}) - pack_id * {_PACK_L} AS BIGINT) AS pack_off,
+         cast(least(off + n, (pack_id + 1) * {_PACK_L})
+              - greatest(off, pack_id * {_PACK_L}) AS BIGINT) AS seg_len
+  FROM seg
+)"""
+
+
+@register(
+    "pack_segments",
+    oracle=_PACK_SEG_CTE + """
+SELECT source, pack_id, doc_id, doc_off, pack_off, seg_len
+FROM segc
+""",
+)
+def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan (context 256): the all-integer
+    doc→pack segment map, one window exchange per source group."""
+    from ficaria_spark.operators.tokens import pack_segments
+
+    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    return pack_segments(seqs, context_len=_PACK_L)
+
+
+@register(
+    "pack_sequences",
+    oracle=_PACK_SEG_CTE + """
+, p AS (
+  SELECT source, pack_id, pack_off,
+         list_slice(tokens, doc_off + 1, doc_off + seg_len) AS piece
+  FROM segc
+),
+a AS (
+  SELECT source, pack_id, flatten(list(piece ORDER BY pack_off)) AS toks
+  FROM p GROUP BY source, pack_id
+)
+SELECT source, pack_id, cast(len(toks) AS BIGINT) AS n_tok,
+       array_to_string(toks, ',') AS tokens_str
+FROM a
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training examples: every pack except each source's
+    last carries exactly 256 tokens; token-array equality is exact (integer
+    slices, no reordering within a doc)."""
+    from ficaria_spark.operators.tokens import pack_sequences
+
+    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    packed = pack_sequences(seqs, context_len=_PACK_L)
+    return packed.select(
+        "source", "pack_id", "n_tok",
+        F.array_join(F.expr("transform(tokens, t -> cast(t as string))"), ",")
+        .alias("tokens_str"),
+    )
+
+
+@register(
+    "vocab_stats",
+    oracle=f"""
+SELECT token,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({datagen.token_sql()}) AS token FROM documents)
+GROUP BY token
+""",
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ficaria_spark.operators.tokens import vocab_stats
+
+    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    return vocab_stats(seqs)
+
+
 # ---------------------------------------------------------------------------
 # Imputation surface (SURVEY §2.1 I1–I17). The FCM-family fits are iterative
 # and not SQL-expressible — those queries get rows-only driver checks; their
@@ -427,6 +522,21 @@ def _register_imputers():
         lambda: FCMKIterativeImputer(n_clusters=3, random_state=42,
                                      feature_cols=_IMPUTE_FEATS,
                                      order_cols=("row_id",)))
+
+    def fcki_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bench-sized FCKI (row_id ≤ 2000): the sequential kernel's cost
+        grows superlinearly with rows-per-cluster, so the tracked perf number
+        uses a fixed-size input across scale factors (the full-input variant
+        stays in the gate as impute_fcki)."""
+        m = _part_matrix(spark, sf_dir).where(F.col("row_id") <= 2000)
+        imp = FCMKIterativeImputer(n_clusters=3, random_state=42,
+                                   feature_cols=_IMPUTE_FEATS,
+                                   order_cols=("row_id",))
+        out = imp.fit(m).transform(m)
+        return out.select(
+            "row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS])
+
+    QUERIES["impute_fcki_capped"] = fcki_capped
     QUERIES["impute_iifcm"] = _impute_query(
         lambda: FCMInterpolationIterativeImputer(
             n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS, order_col="row_id"))

@@ -24,8 +24,9 @@ EXPECTED_ORACLE = {
     "dedup_embedding", "knn_cosine", "knn_cosine_blocked", "ann_lsh",
     "ann_ivf", "text_stats", "doc_fingerprint", "lang_profile",
     "pipeline_flagship", "pipeline_flagship_fcm", "salted_agg",
-    "rolling_fingerprints", "quality_filter", "impute_fcki", "impute_dt",
-    "dedup_minhash_lsh", "dedup_simhash",
+    "rolling_fingerprints", "quality_filter", "impute_fcki",
+    "impute_fcki_capped", "impute_dt", "dedup_minhash_lsh", "dedup_simhash",
+    "pack_segments", "pack_sequences", "vocab_stats",
 }
 # every registered query now carries an exact oracle (sequential transforms
 # and xxhash64 pipelines via driver-twin VALUES relations)
