@@ -483,6 +483,10 @@ def test_operator_caches_released(spark):
 
     spark.catalog.clearCache()
     release_operator_caches()
+    # earlier tests may leave localCheckpoint RDDs (e.g. the DT imputer's)
+    # pinned until GC — judge NEW entries only, relative to this baseline
+    jmap0 = spark.sparkContext._jsc.getPersistentRDDs()
+    baseline = set(jmap0.keySet().toArray())
 
     sdf, _ = _docs(spark, n=30)
     dd.minhash_dedup_pairs(sdf, threshold=0.5).count()
@@ -495,9 +499,10 @@ def test_operator_caches_released(spark):
     assert release_operator_caches() >= 5
     assert live_count() == 0
 
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
     for _ in range(40):  # unpersist is async
-        if jsc.getPersistentRDDs().size() == 0:
+        new = set(jsc.getPersistentRDDs().keySet().toArray()) - baseline
+        if not new:
             break
         time.sleep(0.25)
-    assert jsc.getPersistentRDDs().size() == 0
+    assert not (set(jsc.getPersistentRDDs().keySet().toArray()) - baseline)
