@@ -113,6 +113,31 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def decontaminate(train: DataFrame, bench: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ ``min_shared``
+    distinct word ``k``-grams with ANY benchmark doc (the standard n-gram
+    eval-leakage guard for LLM training corpora).
+
+    Returns (id_col, n_shared) for flagged docs — anti-join the training set
+    on it to drop them. Scale shape: the benchmark side is small by nature,
+    so its distinct shingle set is BROADCAST; the training side is one
+    map-side shingle projection + a broadcast-hash semi-join + one hash agg —
+    no all-pairs anything, no shuffle of document text."""
+    tr = shingles(train, text_col, id_col, k=k)
+    be = shingles(bench, text_col, id_col, k=k).select("shingle").distinct()
+    shared = (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.where(F.col("n_shared") >= min_shared)
+        .withColumnRenamed("id", id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -618,6 +618,86 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+                          i -> md5(array_to_string(w[i:i+2], ' '))))) AS shingle
+  FROM words
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 17 != 0)
+SELECT tr.doc_id, count(*) AS n_shared
+FROM tr JOIN bench USING (shingle)
+GROUP BY tr.doc_id
+HAVING count(*) >= 2
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram benchmark decontamination: every 17th doc plays the benchmark
+    set; training docs sharing ≥2 distinct 3-gram shingles with it are
+    flagged (broadcast semi-join — no text shuffles)."""
+    from ficaria_spark.operators.dedup import decontaminate
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, bench, k=3, min_shared=2)
+
+
+@register(
+    "hash_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                 < {int(0.9 * (1 << 60))} THEN 'train'
+            WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                 < {int(0.95 * (1 << 60))} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the md5-portable
+    key hash (the xxhash64 scale path shares the code; tests pin it to the
+    pure-Python XXH64 twin)."""
+    from ficaria_spark.operators.sampling import hash_split
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    out = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+                     key_col="doc_id", seed=7, method="md5")
+    return out.select("doc_id", "split")
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT
+      < CASE source WHEN 'src1' THEN {int(0.75 * (1 << 60))}
+                    WHEN 'src2' THEN {int(0.5 * (1 << 60))}
+                    ELSE {int(0.25 * (1 << 60))} END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mix weights: deterministic hash thresholds per group (one
+    projection + filter, no shuffle, no RNG state)."""
+    from ficaria_spark.operators.sampling import stratified_sample
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"src1": 0.75, "src2": 0.5},
+                            default_rate=0.25, key_col="doc_id",
+                            seed=3, method="md5")
+    return out.select("doc_id", "source")
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle="""
 WITH words AS (
