@@ -30,27 +30,94 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _offsets_window(base: DataFrame, by: str, order_col: str) -> DataFrame:
+    """Exclusive prefix sum via a per-group window — one exchange; a single
+    monster group serializes its window sort."""
+    w = (Window.partitionBy(by).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return base.withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+
+
+def _offsets_two_level(base: DataFrame, by: str, order_col: str,
+                       num_buckets: int) -> DataFrame:
+    """Exclusive prefix sum WITHOUT a per-group window: range-partition by
+    (group, order), per-partition partial sums to the driver (tiny:
+    num_buckets × groups rows), prefix them, broadcast the per-partition
+    bases, then one sorted map pass adds base + local cumsum. No group ever
+    serializes through a single window sort — the 100× path for skewed
+    group distributions."""
+    part = (
+        base.repartitionByRange(num_buckets, F.col(by), F.col(order_col))
+        .sortWithinPartitions(by, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = (
+        part.groupBy("__pid", by).agg(F.sum("__n").alias("__t"))
+        .collect()
+    )
+    bases: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r[by], r["__pid"])):
+        g = r[by]
+        bases[(int(r["__pid"]), g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + int(r["__t"])
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(bases)
+
+    import pandas as pd
+
+    out_schema = part.withColumn("__off", F.lit(0).cast("long")).drop("__pid").schema
+    names = [f.name for f in out_schema.fields]
+
+    def add_offsets(it):
+        b = bc.value
+        run: dict[str, int] = {}  # per-group cumsum carried ACROSS arrow batches
+        for pdf in it:
+            if not len(pdf):
+                continue
+            # rows arrive sorted by (by, order) within the partition; batches
+            # arrive in partition order, so the carry dict stays consistent
+            local = (pdf.groupby(by, sort=False)["__n"].cumsum() - pdf["__n"]).to_numpy()
+            carry = pdf[by].map(lambda g: run.get(g, 0)).to_numpy()
+            base_off = pd.Series(
+                [b[(int(p), g)] for p, g in zip(pdf["__pid"], pdf[by])]).to_numpy()
+            pdf = pdf.assign(__off=(local + carry + base_off).astype("int64"))
+            for g, s in pdf.groupby(by, sort=False)["__n"].sum().items():
+                run[g] = run.get(g, 0) + int(s)
+            yield pdf[names]
+
+    return part.mapInPandas(add_offsets, out_schema)
+
+
 def pack_segments(df: DataFrame, *, context_len: int,
                   n_tok_col: str = "n_tok", id_col: str = "doc_id",
-                  by: str = "source", order_col: str | None = None) -> DataFrame:
+                  by: str = "source", order_col: str | None = None,
+                  num_buckets: int | None = None) -> DataFrame:
     """(by, pack_id, doc_id, doc_off, pack_off, seg_len) — every overlap of a
     doc's token span with a ``context_len``-sized pack of the concatenated
     per-group stream. Docs with ``n_tok <= 0`` contribute nothing.
 
     All-integer output → exact cross-engine oracle. ``sum(seg_len)`` over a
     pack equals ``context_len`` for every pack except each group's last.
+
+    ``num_buckets=None`` computes offsets with a per-group window (one
+    exchange — right when groups are plentiful); ``num_buckets=N`` switches
+    to the two-level range-partitioned prefix sum (identical output, tested),
+    which never funnels a whole group through one window sort — use it when
+    a single ``by`` group can dominate the corpus.
     """
     if context_len < 1:
         raise ValueError(f"context_len must be >= 1, got {context_len}")
     order_col = order_col or id_col
     L = F.lit(context_len)
-    w = (Window.partitionBy(by).orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    base = (
-        df.select(by, id_col, F.col(n_tok_col).cast("long").alias("__n"))
+    extra = [order_col] if order_col != id_col else []
+    pre = (
+        df.select(by, id_col, *extra,
+                  F.col(n_tok_col).cast("long").alias("__n"))
         .where(F.col(n_tok_col) > 0)
-        .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
     )
+    base = (_offsets_two_level(pre, by, order_col, num_buckets)
+            if num_buckets else _offsets_window(pre, by, order_col))
     first = F.floor(F.col("__off") / L)
     last = F.floor((F.col("__off") + F.col("__n") - 1) / L)
     seg = base.select(

@@ -88,3 +88,21 @@ def test_pack_rejects_bad_context_len(spark):
     sdf, _ = _seqs(spark, n=4)
     with pytest.raises(ValueError, match="context_len"):
         pack_segments(sdf, context_len=0)
+
+
+def test_pack_segments_two_level_offsets_match_window(spark):
+    """The range-partitioned two-level prefix sum must produce EXACTLY the
+    window path's segments — exercised with a tiny arrow batch size so the
+    per-partition cumsum carry across batches is actually used."""
+    sdf, _ = _seqs(spark, n=200, seed=13)
+    key = ["source", "pack_id", "doc_id"]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        a = pack_segments(sdf, context_len=L).orderBy(*key).toPandas()
+        for nb in (1, 5, 13):
+            b = pack_segments(sdf, context_len=L, num_buckets=nb) \
+                .orderBy(*key).toPandas()
+            pd.testing.assert_frame_equal(a, b, check_like=True)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
