@@ -44,6 +44,7 @@ HEADLINE = [
     "impute_fcki_capped",
     "slide",
     "pack_sequences",
+    "pipeline_tokens",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_blocked",
@@ -91,7 +92,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
             release_operator_caches()
     total = sum(per_query.values())
     return {
-        "metric": "headline-suite wall time (18 queries: flagship pipeline, temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup, ANN, text; min of interleaved reps)",
+        "metric": "headline-suite wall time (19 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup, ANN, text; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,

@@ -340,11 +340,16 @@ def q_tokens_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_L = 256
 
-_PACK_SEG_CTE = f"""WITH t AS (
+
+def _pack_cte_body(rel: str) -> str:
+    """The t/o/seg/segc packing CTE chain reading (doc_id, text, source)
+    from ``rel`` — shared by the standalone pack queries and the composed
+    pipeline_tokens oracle."""
+    return f"""t AS (
   SELECT cast(doc_id AS VARCHAR) AS doc_id, source,
          {datagen.token_sql()} AS tokens,
          cast(len({datagen.token_sql()}) AS BIGINT) AS n
-  FROM documents
+  FROM {rel}
 ),
 o AS (
   SELECT doc_id, source, tokens, n,
@@ -366,6 +371,9 @@ segc AS (
               - greatest(off, pack_id * {_PACK_L}) AS BIGINT) AS seg_len
   FROM seg
 )"""
+
+
+_PACK_SEG_CTE = "WITH " + _pack_cte_body("documents")
 
 
 @register(
@@ -409,6 +417,135 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seqs = datagen.tokenized_sequences(spark, sf_dir)
     packed = pack_sequences(seqs, context_len=_PACK_L)
+    return packed.select(
+        "source", "pack_id", "n_tok",
+        F.array_join(F.expr("transform(tokens, t -> cast(t as string))"), ",")
+        .alias("tokens_str"),
+    )
+
+
+_PIPE_TOKENS_ORACLE = f"""WITH train AS (
+  SELECT * FROM documents WHERE doc_id % 17 != 0
+),
+bench_docs AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+-- ① exact dedup over the training split (min id per normalized text)
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM train
+  GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+),
+-- ② n-gram decontamination vs the benchmark split
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+                          i -> md5(array_to_string(w[i:i+2], ' '))))) AS shingle
+  FROM words
+),
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+flagged AS (
+  SELECT sh.doc_id
+  FROM sh JOIN bench_sh USING (shingle)
+  WHERE sh.doc_id % 17 != 0
+  GROUP BY sh.doc_id
+  HAVING count(*) >= 2
+),
+-- ③ quality gate
+qw AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS qwords,
+         length(text) AS n_chars
+  FROM train
+),
+qf AS (
+  SELECT doc_id,
+         len(qwords) AS n_words,
+         (n_chars - (len(qwords) - 1)) / cast(len(qwords) AS DOUBLE) AS mwl,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+           / cast(n_chars AS DOUBLE) AS punct,
+         len(list_filter(qwords, x -> list_contains(
+               ['the','a','of','and','to','in','is','that'], lower(x))))
+           / cast(len(qwords) AS DOUBLE) AS stopr
+  FROM qw
+),
+qkeep AS (
+  SELECT doc_id
+  FROM qf
+  WHERE (CASE WHEN n_words < 5 THEN 0.0 ELSE 1.0 END)
+        * (CASE WHEN mwl > 12.0 THEN 0.5 ELSE 1.0 END)
+        * (1.0 - least(punct * 2.0, 1.0) * 0.5)
+        * (0.5 + least(stopr * 4.0, 1.0) * 0.5) >= 0.5
+),
+-- ④ deterministic per-source mix weights
+surv AS (
+  SELECT t.doc_id, t.text, t.source
+  FROM train t
+  JOIN keep USING (doc_id)
+  JOIN qkeep USING (doc_id)
+  LEFT JOIN flagged f ON f.doc_id = t.doc_id
+  WHERE f.doc_id IS NULL
+    AND ('0x' || substr(md5(cast(t.doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT
+        < CASE t.source WHEN 'src1' THEN {int(0.75 * (1 << 60))}
+                        WHEN 'src2' THEN {int(0.5 * (1 << 60))}
+                        ELSE {int(0.25 * (1 << 60))} END
+),
+-- ⑤ tokenize + pack
+{_pack_cte_body("surv")},
+p AS (
+  SELECT source, pack_id, pack_off,
+         list_slice(tokens, doc_off + 1, doc_off + seg_len) AS piece
+  FROM segc
+),
+a AS (
+  SELECT source, pack_id, flatten(list(piece ORDER BY pack_off)) AS toks
+  FROM p GROUP BY source, pack_id
+)
+SELECT source, pack_id, cast(len(toks) AS BIGINT) AS n_tok,
+       array_to_string(toks, ',') AS tokens_str
+FROM a
+"""
+
+
+@register("pipeline_tokens", oracle=_PIPE_TOKENS_ORACLE)
+def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end with ONE exact oracle:
+    exact dedup → n-gram decontamination vs a benchmark split → quality
+    gate → deterministic per-source mix weights → tokenize → fixed-context
+    sequence packing. Every stage is the engine's own operator; only ids
+    and small flag tables cross stage boundaries (text never re-shuffles
+    between stages — the survivors join is id-keyed)."""
+    from ficaria_spark.operators.dedup import decontaminate, exact_dedup
+    from ficaria_spark.operators.sampling import stratified_sample
+    from ficaria_spark.operators.text import quality_score
+    from ficaria_spark.operators.tokens import pack_sequences
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+
+    keep = exact_dedup(train).select(F.col("keep_id").alias("doc_id"))
+    flagged = decontaminate(train, bench, k=3, min_shared=2).select("doc_id")
+    qkeep = quality_score(train).where("quality_keep").select("doc_id")
+    surv = (
+        train.join(keep, "doc_id")
+        .join(qkeep, "doc_id")
+        .join(flagged, "doc_id", "left_anti")
+    )
+    surv = stratified_sample(surv, {"src1": 0.75, "src2": 0.5},
+                             default_rate=0.25, key_col="doc_id",
+                             seed=3, method="md5")
+    seqs = datagen.tokenized_sequences(spark, sf_dir).withColumnRenamed(
+        "doc_id", "doc_id_str")
+    surv_seqs = (
+        seqs.join(surv.select(F.col("doc_id").cast("string").alias("doc_id_str")),
+                  "doc_id_str")
+        .withColumnRenamed("doc_id_str", "doc_id")
+    )
+    packed = pack_sequences(surv_seqs, context_len=_PACK_L)
     return packed.select(
         "source", "pack_id", "n_tok",
         F.array_join(F.expr("transform(tokens, t -> cast(t as string))"), ",")

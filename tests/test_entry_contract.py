@@ -27,7 +27,7 @@ EXPECTED_ORACLE = {
     "rolling_fingerprints", "quality_filter", "impute_fcki",
     "impute_fcki_capped", "impute_dt", "dedup_minhash_lsh", "dedup_simhash",
     "pack_segments", "pack_sequences", "vocab_stats",
-    "decontaminate", "hash_split", "stratified_sample",
+    "decontaminate", "hash_split", "stratified_sample", "pipeline_tokens",
 }
 # every registered query now carries an exact oracle (sequential transforms
 # and xxhash64 pipelines via driver-twin VALUES relations)
