@@ -53,27 +53,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             *, k: int = 3) -> DataFrame:
-    """Distinct word k-gram digests per doc: (id, shingle)."""
+             *, k: int = 3, shingle_hash: str = "md5") -> DataFrame:
+    """Distinct word k-gram digests per doc: (id, shingle).
+
+    ``shingle_hash="md5"`` (default) builds each k-gram string and digests it
+    — engine-portable, used by every exact oracle. ``"xxhash64"`` hashes each
+    WORD once and combines the k word hashes positionally (Σ cⱼ·h[i+j] mod p,
+    no per-shingle string allocation) — the corpus-scale path: k-gram
+    equality is preserved (same words → same id; collisions are the usual
+    hash-family caveat), shingle columns are 8-byte longs instead of 32-char
+    hex strings."""
     base = df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w"))
     n = F.size("__w")
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(F.col("__w"), i + 1, k), " ")))
-    return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    if shingle_hash == "md5":
+        idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+        sh = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(F.col("__w"), i + 1, k), " ")))
+        return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    if shingle_hash != "xxhash64":
+        raise ValueError(f"shingle_hash must be 'md5' or 'xxhash64', got {shingle_hash!r}")
+    rng = np.random.default_rng(137)
+    coefs = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    wh = base.select(
+        "id", F.size("__w").alias("__n"),
+        F.transform("__w", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE))).alias("__wh"),
+    )
+    idx2 = F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(k), F.lit(0)))
+
+    def shingle_at(i):
+        terms = [
+            F.pmod(F.try_element_at("__wh", i + 1 + j) * F.lit(int(coefs[j])), F.lit(_MERSENNE))
+            for j in range(k)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return F.pmod(total, F.lit(_MERSENNE))
+
+    sh = F.transform(idx2, lambda i: F.coalesce(shingle_at(i), F.element_at("__wh", i + 1)))
+    return wh.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def hot_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 *, k: int = 3, max_shingle_freq: int = 1000) -> DataFrame:
+                 *, k: int = 3, max_shingle_freq: int = 1000,
+                 shingle_hash: str = "md5") -> DataFrame:
     """Audit table of the shingles ``ngram_jaccard_pairs`` would prune:
     (shingle, count) for every shingle shared by more than ``max_shingle_freq``
     docs. Run this to see what the frequency guard drops."""
-    sh = shingles(df, text_col, id_col, k=k)
+    sh = shingles(df, text_col, id_col, k=k, shingle_hash=shingle_hash)
     return sh.groupBy("shingle").count().where(F.col("count") > max_shingle_freq)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         *, k: int = 3, threshold: float = 0.8,
-                        max_shingle_freq: int | None = 1000) -> DataFrame:
+                        max_shingle_freq: int | None = 1000,
+                        shingle_hash: str = "md5") -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
     ``max_shingle_freq`` drops shingles shared by more than that many docs
@@ -87,7 +120,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     """
     # the shingle plan is referenced up to 4× (freq guard, sizes, both join
     # sides) — persist once instead of recomputing the scan per reference
-    sh = tracked_persist(shingles(df, text_col, id_col, k=k))
+    sh = tracked_persist(shingles(df, text_col, id_col, k=k, shingle_hash=shingle_hash))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count()
         keep = freq.where(F.col("count") <= max_shingle_freq)
@@ -115,7 +148,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def decontaminate(train: DataFrame, bench: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
-                  min_shared: int = 1) -> DataFrame:
+                  min_shared: int = 1, shingle_hash: str = "md5") -> DataFrame:
     """Benchmark decontamination: flag training docs sharing ≥ ``min_shared``
     distinct word ``k``-grams with ANY benchmark doc (the standard n-gram
     eval-leakage guard for LLM training corpora).
@@ -125,8 +158,9 @@ def decontaminate(train: DataFrame, bench: DataFrame, *, text_col: str = "text",
     so its distinct shingle set is BROADCAST; the training side is one
     map-side shingle projection + a broadcast-hash semi-join + one hash agg —
     no all-pairs anything, no shuffle of document text."""
-    tr = shingles(train, text_col, id_col, k=k)
-    be = shingles(bench, text_col, id_col, k=k).select("shingle").distinct()
+    tr = shingles(train, text_col, id_col, k=k, shingle_hash=shingle_hash)
+    be = shingles(bench, text_col, id_col, k=k,
+                  shingle_hash=shingle_hash).select("shingle").distinct()
     shared = (
         tr.join(F.broadcast(be), "shingle")
         .groupBy("id")

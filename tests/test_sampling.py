@@ -101,3 +101,21 @@ def test_decontaminate_matches_python_oracle(spark):
             exp[r.doc_id] = n
     assert dict(zip(got.doc_id, got.n_shared)) == exp
     assert exp, "fixture must actually plant contamination"
+
+
+def test_decontaminate_xxhash_shingles_flag_same_docs(spark):
+    """The xxhash64 positional-combo shingle path (no per-shingle string
+    building — the corpus-scale hash) must flag the same docs as md5:
+    k-gram equality is hash-family independent."""
+    _, pdf = _docs(spark, n=100, seed=9)
+    leak = pdf.loc[pdf.doc_id == 20, "text"].iloc[0]
+    for did in (7, 33):
+        pdf.loc[pdf.doc_id == did, "text"] = "prefix " + leak
+    sdf = spark.createDataFrame(pdf)
+    bench = sdf.where("doc_id % 10 = 0")
+    train = sdf.where("doc_id % 10 != 0")
+    a = decontaminate(train, bench, k=3, min_shared=2).toPandas()
+    b = decontaminate(train, bench, k=3, min_shared=2,
+                      shingle_hash="xxhash64").toPandas()
+    assert dict(zip(a.doc_id, a.n_shared)) == dict(zip(b.doc_id, b.n_shared))
+    assert {7, 33} <= set(a.doc_id)
