@@ -100,3 +100,27 @@ def test_streaming_backfill_state_survives_checkpoint_resume(spark, tmp_path):
     # the test is vacuous unless some run-2 fill actually crossed the boundary
     crossed = second[second.f_value.isna()].event_id
     assert len(crossed) > 0 and not np.isnan(b.loc[crossed].to_numpy()).all()
+
+
+def test_sampling_ops_are_streaming_safe(spark, tmp_path):
+    """hash_split / stratified_sample are stateless projections — they run
+    unchanged on a streaming DataFrame (append mode, no state)."""
+    import pandas as pd
+
+    from ficaria_spark.operators.sampling import hash_split
+
+    pdf = pd.DataFrame({"doc_id": range(200), "source": ["s0", "s1"] * 100})
+    src = str(tmp_path / "sin")
+    spark.createDataFrame(pdf).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = hash_split(stream, {"train": 0.8, "val": 0.2}, seed=6)
+    q = (
+        out.writeStream.format("memory").queryName("split_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("split_stream").toPandas().set_index("doc_id")["split"]
+    exp = hash_split(static, {"train": 0.8, "val": 0.2}, seed=6) \
+        .toPandas().set_index("doc_id")["split"]
+    assert got.sort_index().equals(exp.sort_index())
