@@ -1,13 +1,19 @@
-"""spark-submit entry point for the flagship pipeline.
+"""spark-submit entry point for the production pipelines.
 
 Cluster usage:
     spark-submit --py-files ficaria_spark.zip main.py \
-        --input-dir /data/sfX --out-dir /data/out --n-buckets 256
+        --input-dir /data/sfX --out-dir /data/out --n-buckets 256 \
+        [--job temporal|tokens]
 
-Packs the library with ``zip -r ficaria_spark.zip ficaria_spark`` (or ship a
-wheel). Runs the flagship leakage-free backfill + token passthrough pipeline
-through the manifest layer, so a re-submit after a failure resumes from the
-completed buckets.
+Pack the library with ``zip -r ficaria_spark.zip ficaria_spark`` (or ship a
+wheel). Both jobs run through the manifest layer, so a re-submit after a
+failure resumes from the completed buckets only:
+
+* ``--job temporal`` (default) — the flagship leakage-free backfill +
+  token-passthrough feature pipeline, bucketed by entity.
+* ``--job tokens`` — the training-data production pipeline (exact dedup →
+  n-gram decontamination → quality gate → per-source mix weights →
+  fixed-context sequence packing), bucketed by pack id.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ def main() -> int:
     ap.add_argument("--input-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", default="/tmp/ficaria_spark_out")
     ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--job", choices=("temporal", "tokens"), default="temporal")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -32,10 +39,15 @@ def main() -> int:
     from ficaria_spark.queries import QUERIES
     from ficaria_spark.session import get_spark
 
-    spark = get_spark("ficaria-flagship", master=args.master)
-    flagship = QUERIES["pipeline_flagship"](spark, args.input_dir)
+    spark = get_spark(f"ficaria-{args.job}", master=args.master)
+    if args.job == "temporal":
+        df = QUERIES["pipeline_flagship"](spark, args.input_dir)
+        entity_col = "entity_id"
+    else:
+        df = QUERIES["pipeline_tokens"](spark, args.input_dir)
+        entity_col = "pack_id"
     summary = run_with_manifests(
-        flagship, entity_col="entity_id", out_dir=args.out_dir,
+        df, entity_col=entity_col, out_dir=args.out_dir,
         n_buckets=args.n_buckets,
     )
     print(json.dumps(summary))
