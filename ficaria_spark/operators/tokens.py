@@ -168,6 +168,31 @@ def pack_sequences(df: DataFrame, *, context_len: int,
         .select(by, "pack_id", "n_tok", tokens_col)
 
 
+def token_ngrams(df: DataFrame, *, n: int = 2, tokens_col: str = "tokens",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(ngram array<int>, n_occurrences, n_docs) — corpus n-gram frequency
+    table over the token arrays (the statistical-LM / contamination-audit
+    building block). Pure column expressions: per-row n-gram slices →
+    explode → one hash aggregation; shuffle is bounded by the distinct
+    n-gram vocabulary, not the corpus."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.col(tokens_col)
+    # lower bound 1 (not 0): sequence(1, 0) would DESCEND through the illegal
+    # slice start 0; short docs instead emit one partial slice that the
+    # size filter drops
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.slice(toks, i, n))
+    ex = (
+        df.select(id_col, F.explode(grams).alias("ngram"))
+        .where(F.size("ngram") == n)  # drops partial slices of too-short docs
+    )
+    return ex.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
 def vocab_stats(df: DataFrame, *, tokens_col: str = "tokens",
                 id_col: str = "doc_id") -> DataFrame:
     """(token, n_occurrences, n_docs) over the whole corpus — explode + one

@@ -554,6 +554,30 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_bigrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {datagen.token_sql()} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i:i+1])) AS ngram
+  FROM t
+)
+SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM g WHERE len(ngram) = 2
+GROUP BY ngram
+""",
+)
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table over the token arrays (array-valued group keys —
+    shuffle bounded by the bigram vocabulary)."""
+    from ficaria_spark.operators.tokens import token_ngrams
+
+    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    return token_ngrams(seqs, n=2)
+
+
+@register(
     "vocab_stats",
     oracle=f"""
 SELECT token,

@@ -106,3 +106,22 @@ def test_pack_segments_two_level_offsets_match_window(spark):
             pd.testing.assert_frame_equal(a, b, check_like=True)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_token_ngrams_matches_python(spark):
+    from collections import Counter
+
+    from ficaria_spark.operators.tokens import token_ngrams
+
+    sdf, pdf = _seqs(spark, n=60, seed=21)
+    got = token_ngrams(sdf, n=3).toPandas()
+    occ, docs = Counter(), Counter()
+    for _, r in pdf.iterrows():
+        grams = [tuple(r.tokens[i:i + 3]) for i in range(len(r.tokens) - 2)]
+        occ.update(grams)
+        docs.update(set(grams))
+    got_map = {tuple(g): (int(o), int(d))
+               for g, o, d in zip(got.ngram, got.n_occurrences, got.n_docs)}
+    assert got_map == {g: (occ[g], docs[g]) for g in occ}
+    # short/empty docs contribute nothing and never crash the slice
+    assert all(len(g) == 3 for g in got.ngram)
