@@ -429,6 +429,62 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_rep) where
+    cluster_rep = min id of the doc's connected component. The step that
+    turns a pair list (minhash/simhash/jaccard/embedding) into an actual
+    keep/drop decision (keep rows where doc_id == cluster_rep).
+
+    Algorithm: min-label propagation — each iteration every node takes the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds. Near-dup components are small and dense (diameter a
+    few hops), so a handful of join+agg rounds suffice; each round is one
+    shuffle on the node id and the frontier SHRINKS (only labels that
+    changed propagate). ``localCheckpoint`` truncates lineage per round and
+    the per-round convergence check is one tiny aggregate. For adversarial
+    long-chain graphs use the two-phase large-star/small-star variant
+    (Kiveris et al.) — same join primitives, O(log n) rounds.
+
+    Output covers every id appearing in ``pairs`` (isolated docs never enter
+    the pair list — they are their own representative by definition).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' labels
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_rep"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -858,6 +858,49 @@ def simhash_xxhash_expected(sf_dir: str, *, max_hamming: int = 10,
                      hm[keep].astype(int).tolist()))
 
 
+@lru_cache(maxsize=8)
+def dedup_clusters_expected(sf_dir: str) -> tuple:
+    """Driver twin of dedup_clusters over the minhash pair list: union-find
+    with min-id representatives (the pair list itself is the oracle-verified
+    minhash_xxhash_expected relation)."""
+    rows = minhash_xxhash_expected(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    ids = set()
+    for ia, ib, _ in rows:
+        ids.add(ia)
+        ids.add(ib)
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for i in ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return tuple(sorted((i, comp_min[find(i)]) for i in ids))
+
+
+def clusters_oracle_sql(rows) -> str:
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS cluster_rep WHERE FALSE")
+    vals = ",\n    ".join(f"({i}, {r})" for i, r in rows)
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep
+FROM (VALUES
+    {vals}
+) AS t(doc_id, cluster_rep)
+"""
+
+
 def minhash_xxhash_oracle_sql(rows) -> str:
     if not rows:
         return ("SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
@@ -1002,6 +1045,8 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
             minhash_xxhash_expected(sf_dir)),
         "dedup_simhash": lambda: simhash_xxhash_oracle_sql(
             simhash_xxhash_expected(sf_dir)),
+        "dedup_clusters": lambda: clusters_oracle_sql(
+            dedup_clusters_expected(sf_dir)),
     }
     for name, build in builders.items():
         try:

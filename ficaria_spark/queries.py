@@ -944,6 +944,19 @@ _register_minhash_portable()
 _register_simhash_portable()
 
 
+@register("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash pairs → connected components via
+    min-label propagation → (doc_id, cluster_rep). Oracle = driver-twin
+    union-find over the (itself oracle-verified) pair relation."""
+    from ficaria_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16,
+                                threshold=0.5, engine="arrow")
+    return dedup_clusters(pairs)
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.dedup import simhash_near_pairs

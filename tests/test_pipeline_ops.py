@@ -506,3 +506,18 @@ def test_operator_caches_released(spark):
             break
         time.sleep(0.25)
     assert not (set(jsc.getPersistentRDDs().keySet().toArray()) - baseline)
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Min-label propagation must resolve the same components as a python
+    union-find: triangle, 6-node chain (exercises multi-round propagation),
+    and a 2-node island."""
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 1, 10, 11, 12, 13, 14, 50],
+        "id_b": [2, 3, 3, 11, 12, 13, 14, 15, 51],
+    })
+    sdf = spark.createDataFrame(pairs)
+    got = dd.dedup_clusters(sdf).toPandas()
+    exp = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+           50: 50, 51: 50}
+    assert dict(zip(got.doc_id, got.cluster_rep)) == exp
