@@ -104,6 +104,14 @@ def test_pack_segments_two_level_offsets_match_window(spark):
             b = pack_segments(sdf, context_len=L, num_buckets=nb) \
                 .orderBy(*key).toPandas()
             pd.testing.assert_frame_equal(a, b, check_like=True)
+        # monster-source case: ONE group spanning every range partition —
+        # exactly the skew the two-level path exists for
+        import pyspark.sql.functions as F
+        one = sdf.withColumn("source", F.lit("only"))
+        a1 = pack_segments(one, context_len=L).orderBy(*key).toPandas()
+        b1 = pack_segments(one, context_len=L, num_buckets=13) \
+            .orderBy(*key).toPandas()
+        pd.testing.assert_frame_equal(a1, b1, check_like=True)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
