@@ -16,9 +16,13 @@ defaults (e.g. ``FuzzyGranularitySelector(n_features=5, eps=0.3)``,
 ``fit_cap``, ``order_cols``, …) pass through as extra keywords. Reference
 parameters without a Spark-side meaning (``random_state`` on the selector,
 whose fit is deterministic by construction; ``n_jobs``, replaced by cluster
-parallelism) are accepted and ignored. The estimators take Spark DataFrames;
-the numeric helpers (`fuzzy_c_means`, `fcm_predict`, …) take NumPy arrays
-exactly like the reference's.
+parallelism) are accepted and ignored. The estimators take Spark DataFrames
+— or plain ``pd.DataFrame``s exactly like the reference: pandas in, pandas
+out, original row order preserved (the frame is lifted into the active Spark
+session under the hood). Selector ``fit(X, y)`` accepts the target as a
+Series/array, reference-style. The numeric helpers (`fuzzy_c_means`,
+`fcm_predict`, …) take NumPy arrays exactly like the reference's, and
+``NotFittedError`` is exported under its reference name.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ficaria_spark.operators.impute import NotFittedError  # noqa: F401  (reference: sklearn.exceptions)
 from ficaria_spark.operators.impute import (
     FCMCentroidImputer as _FCMCentroidImputer,
     FCMDTIterativeImputer as _FCMDTIterativeImputer,
@@ -40,8 +45,112 @@ from ficaria_spark.operators.select import (
     WeightedFuzzyRoughSelector as _WeightedFuzzyRoughSelector,
 )
 
+_ORDER = "__row_order"
 
-class FuzzyGranularitySelector(_FuzzyGranularitySelector):
+
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    from ficaria_spark.session import get_spark
+
+    return SparkSession.getActiveSession() or get_spark("ficaria-compat")
+
+
+class _PandasImputerIO:
+    """pandas-in / pandas-out, exactly like the reference estimators: a
+    ``pd.DataFrame`` fed to fit/transform is lifted into the active Spark
+    session (all columns become features, as the reference's
+    check_input_dataset demands) and transform hands back a ``pd.DataFrame``
+    in the original row order. Spark DataFrames pass through untouched."""
+
+    def _lift(self, X, *, for_fit: bool):
+        import pandas as pd
+
+        if not isinstance(X, pd.DataFrame):
+            return X, False
+        if for_fit and self.feature_cols is None:
+            self.feature_cols = [str(c) for c in X.columns]
+        pdf = X.copy()
+        pdf.columns = [str(c) for c in pdf.columns]
+        pdf[_ORDER] = np.arange(len(pdf))
+        return _active_spark().createDataFrame(pdf), True
+
+    def fit(self, X):
+        sdf, _ = self._lift(X, for_fit=True)
+        return super().fit(sdf)
+
+    def transform(self, X):
+        sdf, was_pandas = self._lift(X, for_fit=False)
+        out = super().transform(sdf)
+        if not was_pandas:
+            return out
+        pdf = out.toPandas().sort_values(_ORDER).reset_index(drop=True)
+        return pdf.drop(columns=[_ORDER])
+
+    def fit_transform(self, X):
+        return self.fit(X).transform(X)
+
+
+class _PandasSelectorIO:
+    """Selector variant: the reference's ``fit(X, y)`` takes the target as a
+    SERIES/array; lift it as a target column next to the features."""
+
+    def _lift_xy(self, X, y=None, *, for_fit: bool):
+        import pandas as pd
+
+        if not isinstance(X, pd.DataFrame):
+            return X, y, False
+        if for_fit and self.feature_cols is None:
+            self.feature_cols = [str(c) for c in X.columns]
+        pdf = X.copy()
+        pdf.columns = [str(c) for c in pdf.columns]
+        tname = None
+        if y is not None and not isinstance(y, str):
+            tname = "__target"
+            pdf[tname] = np.asarray(y)
+        elif isinstance(y, str):
+            tname = y
+        pdf[_ORDER] = np.arange(len(pdf))
+        return _active_spark().createDataFrame(pdf), tname, True
+
+    def fit(self, X, y=None):
+        sdf, tname, _ = self._lift_xy(X, y, for_fit=True)
+        return super().fit(sdf, tname)
+
+    def _selected_names(self) -> list[str]:
+        if isinstance(self, _FuzzyGranularitySelector):
+            if self.S_ is None:
+                raise NotFittedError("FuzzyGranularitySelector is not fitted yet")
+            return list(self.S_[: self.k])
+        if self.feature_sequence_ is None:
+            raise NotFittedError("WeightedFuzzyRoughSelector is not fitted yet")
+        return [self.feature_names_in_[i]
+                for i in self.feature_sequence_[: self.n_features]]
+
+    def transform(self, X):
+        import pandas as pd
+
+        if not isinstance(X, pd.DataFrame):
+            return super().transform(X)
+        # a fitted selector's transform is a pure projection — apply it to
+        # the pandas frame directly (row order trivially preserved), with
+        # the same column guard the Spark path enforces
+        picked = self._selected_names()  # raises NotFittedError when unfitted
+        cols = [str(c) for c in X.columns]
+        missing = [c for c in self.feature_names_in_ if c not in cols]
+        if missing:
+            raise ValueError(
+                f"X.columns must match the columns seen during fit "
+                f"{self.feature_names_in_}, missing {missing} instead")
+        out = X.copy()
+        out.columns = cols
+        return out[picked].reset_index(drop=True)
+
+    def fit_transform(self, X, y=None):
+        return self.fit(X, y).transform(X)
+
+
+class FuzzyGranularitySelector(_PandasSelectorIO, _FuzzyGranularitySelector):
     """Reference signature (feature_selection.py:82): ``n_features`` maps to
     the engine's ``k``; ``random_state`` is accepted and ignored (the engine's
     fit is deterministic over the canonically-ordered capped frame)."""
@@ -53,7 +162,7 @@ class FuzzyGranularitySelector(_FuzzyGranularitySelector):
                          **engine_kwargs)
 
 
-class WeightedFuzzyRoughSelector(_WeightedFuzzyRoughSelector):
+class WeightedFuzzyRoughSelector(_PandasSelectorIO, _WeightedFuzzyRoughSelector):
     """Reference positional order (feature_selection.py:621):
     (n_features, alpha=0.5, k=5)."""
 
@@ -62,7 +171,7 @@ class WeightedFuzzyRoughSelector(_WeightedFuzzyRoughSelector):
                          **engine_kwargs)
 
 
-class FCMCentroidImputer(_FCMCentroidImputer):
+class FCMCentroidImputer(_PandasImputerIO, _FCMCentroidImputer):
     """Reference signature/defaults (missing_imputation.py:71)."""
 
     def __init__(self, n_clusters=5, m=2.0, max_iter=100, tol=1e-5,
@@ -71,7 +180,7 @@ class FCMCentroidImputer(_FCMCentroidImputer):
                          tol=tol, random_state=random_state, **engine_kwargs)
 
 
-class FCMParameterImputer(_FCMParameterImputer):
+class FCMParameterImputer(_PandasImputerIO, _FCMParameterImputer):
     """Reference signature/defaults (missing_imputation.py:222)."""
 
     def __init__(self, n_clusters=5, m=2.0, max_iter=100, tol=1e-5,
@@ -80,7 +189,7 @@ class FCMParameterImputer(_FCMParameterImputer):
                          tol=tol, random_state=random_state, **engine_kwargs)
 
 
-class FCMRoughParameterImputer(_FCMRoughParameterImputer):
+class FCMRoughParameterImputer(_PandasImputerIO, _FCMRoughParameterImputer):
     """Reference positional order/defaults (missing_imputation.py:411)."""
 
     def __init__(self, n_clusters=5, m=2.0, max_iter=100, max_iter_rough_k=100,
@@ -91,7 +200,7 @@ class FCMRoughParameterImputer(_FCMRoughParameterImputer):
                          tol=tol, random_state=random_state, **engine_kwargs)
 
 
-class FCMKIterativeImputer(_FCMKIterativeImputer):
+class FCMKIterativeImputer(_PandasImputerIO, _FCMKIterativeImputer):
     """Reference signature/defaults (missing_imputation.py:741); ``n_jobs``
     is accepted and ignored (cross-cluster parallelism is Spark's)."""
 
@@ -105,7 +214,7 @@ class FCMKIterativeImputer(_FCMKIterativeImputer):
                          tol=tol, random_state=random_state, **engine_kwargs)
 
 
-class FCMInterpolationIterativeImputer(_FCMInterpolationIterativeImputer):
+class FCMInterpolationIterativeImputer(_PandasImputerIO, _FCMInterpolationIterativeImputer):
     """Reference signature/defaults (missing_imputation.py:1089)."""
 
     def __init__(self, n_clusters=5, m=2.0, max_iter=100, alpha=0.85,
@@ -115,7 +224,7 @@ class FCMInterpolationIterativeImputer(_FCMInterpolationIterativeImputer):
                          **engine_kwargs)
 
 
-class FCMDTIterativeImputer(_FCMDTIterativeImputer):
+class FCMDTIterativeImputer(_PandasImputerIO, _FCMDTIterativeImputer):
     """Reference signature/defaults (missing_imputation.py:1356)."""
 
     def __init__(self, max_clusters=20, m=2, max_iter=100, max_FCM_iter=100,
@@ -174,6 +283,7 @@ def check_input_dataset(df: DataFrame, require_numeric: bool = False,
 
 
 __all__ = [
+    "NotFittedError",
     "FuzzyGranularitySelector",
     "WeightedFuzzyRoughSelector",
     "FCMCentroidImputer",

@@ -107,3 +107,42 @@ def test_compat_reference_signatures():
     ki2 = c.FCMKIterativeImputer(n_clusters=3, feature_cols=["a", "b"],
                                  order_cols=("rid",), bucket_size=100)
     assert ki2.feature_cols == ["a", "b"] and ki2.bucket_size == 100
+
+
+def test_compat_pandas_in_pandas_out(spark):
+    """Reference estimators take pandas frames and give pandas frames back —
+    the compat wrappers must do the same (row order preserved; all columns
+    are features, like the reference's check_input_dataset demands)."""
+    import numpy as np
+    import pandas as pd
+
+    from ficaria_spark import compat as c
+
+    rng = np.random.default_rng(5)
+    X = pd.DataFrame(rng.normal(size=(120, 3)), columns=["a", "b", "c"])
+    X.iloc[::7, 0] = np.nan
+    X.iloc[3::11, 1] = np.nan
+
+    imp = c.FCMCentroidImputer(n_clusters=2, random_state=1)
+    out = imp.fit(X).transform(X)
+    assert isinstance(out, pd.DataFrame)
+    assert list(out.columns) == ["a", "b", "c"] and len(out) == len(X)
+    assert out.isna().sum().sum() == 0
+    obs = ~X.isna()
+    assert np.allclose(out.to_numpy()[obs.to_numpy()],
+                       X.to_numpy()[obs.to_numpy()])
+
+    # selector: fit(X, y) with y as a Series, transform returns projection
+    Xs = pd.DataFrame(rng.normal(size=(80, 4)), columns=list("wxyz"))
+    y = pd.Series(np.where(Xs["w"] + Xs["x"] > 0, "p", "q"))
+    sel = c.WeightedFuzzyRoughSelector(2, 0.5, k=3)
+    picked = sel.fit(Xs, y).transform(Xs)
+    assert isinstance(picked, pd.DataFrame) and picked.shape == (80, 2)
+    assert set(picked.columns) <= set(Xs.columns)
+    first = picked.columns[0]
+    assert np.allclose(picked[first].to_numpy(), Xs[first].to_numpy())
+
+    from ficaria_spark.compat import NotFittedError
+    import pytest as _pt
+    with _pt.raises(NotFittedError):
+        c.FuzzyGranularitySelector().transform(Xs)
