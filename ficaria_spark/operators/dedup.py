@@ -429,6 +429,82 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def _bidir(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")) \
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))) \
+        .distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): every node u re-points its strictly-larger neighbors at
+    m = min(Γ(u) ∪ {u})."""
+    b = _bidir(edges)
+    m = b.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        b.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: over Γ⁻(u) = {v ∈ Γ(u): v ≤ u}, every node u re-points
+    v ∈ Γ⁻(u) ∪ {u} at m = min(Γ⁻(u) ∪ {u}) — including the (u, m) edge,
+    which keeps local-maximum nodes attached to their component."""
+    b = _bidir(edges).where(F.col("v") <= F.col("u"))
+    m = b.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = b.join(m, "u")
+    pointed = joined.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    self_edges = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        pointed.unionByName(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
+                        id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions — O(log n) rounds regardless of component DIAMETER, the
+    variant to use when dup chains can be adversarially long (label
+    propagation needs O(diameter) rounds). Same output contract as
+    :func:`dedup_clusters`: (doc_id, cluster_rep = component min id)."""
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_ids = (
+        edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # converged when the edge multiset is stable (star graphs are fixed
+        # points of both contractions)
+        delta = nxt.exceptAll(edges).limit(1).count() + \
+            edges.exceptAll(nxt).limit(1).count()
+        edges = nxt
+        if not delta:
+            break
+    # stars point larger → smaller; a node's parent IS the component min
+    parents = edges.select(F.col("src").alias("doc_id"),
+                           F.col("dst").alias("cluster_rep"))
+    return (
+        all_ids.join(parents, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_rep", "doc_id").alias("cluster_rep"))
+    )
+
+
 def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 20) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_rep) where

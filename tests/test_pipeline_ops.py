@@ -521,3 +521,25 @@ def test_dedup_clusters_matches_union_find(spark):
     exp = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
            50: 50, 51: 50}
     assert dict(zip(got.doc_id, got.cluster_rep)) == exp
+
+
+def test_dedup_clusters_star_matches_label_propagation(spark):
+    """Large-star/small-star must resolve identical components to min-label
+    propagation — including a 30-node chain (adversarial diameter, the case
+    star contraction exists for) and random clustered pair graphs."""
+    rng = np.random.default_rng(17)
+    chain = [(i, i + 1) for i in range(100, 130)]
+    blobs = []
+    for base in (500, 600, 700):
+        members = base + rng.choice(40, size=12, replace=False)
+        for i in range(len(members) - 1):
+            blobs.append((int(members[i]), int(members[i + 1])))
+    pairs = pd.DataFrame(chain + blobs, columns=["id_a", "id_b"])
+    sdf = spark.createDataFrame(pairs)
+    a = dd.dedup_clusters(sdf, max_iter=40).toPandas()
+    b = dd.dedup_clusters_star(sdf).toPandas()
+    ma = dict(zip(a.doc_id, a.cluster_rep))
+    mb = dict(zip(b.doc_id, b.cluster_rep))
+    assert ma == mb
+    # the chain resolves to its minimum
+    assert all(ma[i] == 100 for i in range(100, 131))
