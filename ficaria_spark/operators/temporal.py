@@ -325,3 +325,45 @@ def interpolate_linear(
     if x is None:
         out = out.drop("__pos")
     return out
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width_seconds: int | None = None,
+) -> DataFrame:
+    """Range join: every (event, interval) pair with ``start ≤ ts < end``.
+
+    Spark has no native range-join operator, so the naive plan for a pure
+    range predicate is a BroadcastNestedLoopJoin — correct, and fine when
+    the interval side is broadcast-small (``bucket_width_seconds=None``).
+
+    The scale path (``bucket_width_seconds=W``) buckets time: events get
+    ``floor(epoch/W)``; each interval EXPLODES over the buckets it overlaps
+    (⌈len/W⌉ + 1 copies); the join becomes an EQUI-join on the bucket with a
+    cheap residual range filter — hash-partitioned, AQE-splittable, no
+    nested loop anywhere. Pick ``W`` near the typical interval length so
+    interval replication stays ~2×. Identical output to the naive path
+    (equality-tested); intervals with ``end ≤ start`` match nothing.
+    """
+    e_us = F.unix_micros(F.col(ts))
+    s_us = F.unix_micros(F.col(start))
+    n_us = F.unix_micros(F.col(end))
+    rng_pred = (e_us >= s_us) & (e_us < n_us)
+    if bucket_width_seconds is None:
+        return events.join(F.broadcast(intervals), rng_pred)
+    w_us = int(bucket_width_seconds) * 1_000_000
+    ev = events.withColumn("__b", F.floor(e_us / F.lit(w_us)))
+    iv = (
+        intervals.where(n_us > s_us)
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(F.floor(s_us / F.lit(w_us)),
+                                 F.floor((n_us - 1) / F.lit(w_us)))),
+        )
+    )
+    return ev.join(iv, ["__b"]).where(rng_pred).drop("__b")

@@ -180,6 +180,41 @@ def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_weeks",
+    oracle="""
+WITH w AS (SELECT DISTINCT date_trunc('week', o_orderdate) AS ws FROM orders),
+j AS (
+  SELECT epoch_us(w.ws) AS week_start_us, l.l_quantity
+  FROM lineitem l
+  JOIN w ON l.l_shipdate >= w.ws AND l.l_shipdate < w.ws + INTERVAL 4 DAY
+)
+SELECT week_start_us,
+       count(*) AS n_ship,
+       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM j
+GROUP BY week_start_us
+""",
+)
+def q_range_join_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (Spark has no native one): lineitem ship dates against the
+    distinct Mon–Thu order-week windows via the bucketed equi-join path
+    (time buckets + residual filter — no nested loop)."""
+    from ficaria_spark.operators.temporal import interval_join
+
+    li = datagen.load(spark, sf_dir, "lineitem")
+    orders = datagen.load(spark, sf_dir, "orders")
+    wins = orders.select(
+        F.date_trunc("week", "o_orderdate").alias("ws")).distinct() \
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 4 DAYS"))
+    j = interval_join(li, wins, ts="l_shipdate", start="ws", end="we",
+                      bucket_width_seconds=7 * 86400)
+    return j.groupBy(F.unix_micros("ws").alias("week_start_us")).agg(
+        F.count("*").alias("n_ship"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
     "asof_join",
     oracle="""
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS value_asof

@@ -236,3 +236,45 @@ def test_range_partition_layout(spark):
     a = out.orderBy("rid").toPandas()["v_filled"].to_numpy(float)
     b = base.orderBy("rid").toPandas()["v_filled"].to_numpy(float)
     assert np.allclose(a, b, equal_nan=True)
+
+
+def test_interval_join_bucketed_equals_broadcast(spark):
+    """The bucketed equi-join range path must equal the naive broadcast
+    nested-loop path for every (event, interval) relation — including
+    intervals spanning multiple buckets, empty intervals, and boundary
+    timestamps (start inclusive, end exclusive)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from ficaria_spark.operators.temporal import interval_join
+
+    rng = np.random.default_rng(6)
+    t0 = dt.datetime(2024, 3, 1)
+    ev = pd.DataFrame({
+        "event_id": range(300),
+        "ts": [t0 + dt.timedelta(minutes=int(rng.integers(0, 10_000)))
+               for _ in range(300)],
+    })
+    iv_rows = []
+    for i in range(40):
+        s = t0 + dt.timedelta(minutes=int(rng.integers(0, 9_000)))
+        dur = int(rng.integers(-30, 600))  # includes empty/negative intervals
+        iv_rows.append((i, s, s + dt.timedelta(minutes=dur)))
+    # boundary case: interval exactly [ts, ts+1min) of event 0
+    iv_rows.append((99, ev.ts[0], ev.ts[0] + dt.timedelta(minutes=1)))
+    iv = pd.DataFrame(iv_rows, columns=["win_id", "ws", "we"])
+
+    sev, siv = spark.createDataFrame(ev), spark.createDataFrame(iv)
+    naive = interval_join(sev, siv, ts="ts", start="ws", end="we") \
+        .select("event_id", "win_id").toPandas()
+    for W in (60, 3600, 86400):
+        fast = interval_join(sev, siv, ts="ts", start="ws", end="we",
+                             bucket_width_seconds=W) \
+            .select("event_id", "win_id").toPandas()
+        assert set(zip(naive.event_id, naive.win_id)) \
+            == set(zip(fast.event_id, fast.win_id)), W
+    # start inclusive / end exclusive: the boundary interval matches event 0
+    assert (99 in set(naive.win_id)) and \
+        set(naive[naive.win_id == 99].event_id) == {0}
