@@ -367,3 +367,52 @@ def interval_join(
         )
     )
     return ev.join(iv, ["__b"]).where(rng_pred).drop("__b")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    *,
+    ts: str,
+    keys: Sequence[str] = (),
+    value_col: str,
+    levels: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    pattern): one stacked table of (level, bucket_start, keys…, n_rows,
+    sum_value) for every requested granularity.
+
+    Scale shape: ONLY the finest level aggregates the raw data; every
+    coarser level re-aggregates the previous level (sum-of-sums,
+    sum-of-counts — algebraic aggregates compose), so the raw-data pass
+    happens once no matter how many levels are requested, and each coarser
+    shuffle is bounded by the finer level's cardinality, not the corpus.
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    keys = list(keys)
+
+    def agg_of(src: DataFrame, level: str, *, from_raw: bool) -> DataFrame:
+        bucket = F.date_trunc(level, F.col(ts)).alias("bucket_start")
+        if from_raw:
+            n, s = F.count("*"), F.sum(F.col(value_col).cast("decimal(18,4)"))
+        else:
+            n, s = F.sum("n_rows"), F.sum(F.col("sum_value"))
+        return (
+            src.groupBy(bucket, *keys)
+            .agg(n.alias("n_rows"), s.alias("sum_value"))
+            .withColumn("level", F.lit(level))
+        )
+
+    finest = agg_of(df, levels[0], from_raw=True)
+    out = [finest]
+    prev = finest
+    for lv in levels[1:]:
+        cur = agg_of(prev.withColumnRenamed("bucket_start", ts), lv, from_raw=False)
+        out.append(cur)
+        prev = cur
+    stacked = out[0]
+    for o in out[1:]:
+        stacked = stacked.unionByName(o)
+    return stacked.select(
+        "level", F.unix_micros("bucket_start").alias("bucket_start_us"),
+        *keys, "n_rows", F.col("sum_value").cast("double").alias("sum_value"))

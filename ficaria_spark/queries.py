@@ -179,6 +179,30 @@ def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_LEVEL_SQL = """SELECT '{lv}' AS level,
+       epoch_us(date_trunc('{lv}', ts)) AS bucket_start_us, event_type,
+       count(*) AS n_rows,
+       cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3"""
+
+
+@register(
+    "rollup_events",
+    oracle="\nUNION ALL\n".join(
+        _ROLLUP_LEVEL_SQL.format(lv=lv) for lv in ("hour", "day", "week")),
+)
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/week rollups where
+    each coarser level re-aggregates the finer one (raw data is scanned
+    once; algebraic aggregates compose exactly, so the oracle can compute
+    every level directly from raw)."""
+    from ficaria_spark.operators.temporal import hypertable_rollup
+
+    ev = datagen.load(spark, sf_dir, "events")
+    return hypertable_rollup(ev, ts="ts", keys=["event_type"],
+                             value_col="value", levels=("hour", "day", "week"))
+
+
 @register(
     "range_join_weeks",
     oracle="""

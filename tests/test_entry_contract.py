@@ -28,7 +28,7 @@ EXPECTED_ORACLE = {
     "impute_fcki_capped", "impute_dt", "dedup_minhash_lsh", "dedup_simhash",
     "pack_segments", "pack_sequences", "vocab_stats",
     "decontaminate", "hash_split", "stratified_sample", "pipeline_tokens",
-    "token_bigrams", "dedup_clusters", "range_join_weeks",
+    "token_bigrams", "dedup_clusters", "range_join_weeks", "rollup_events",
 }
 # every registered query now carries an exact oracle (sequential transforms
 # and xxhash64 pipelines via driver-twin VALUES relations)

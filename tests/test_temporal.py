@@ -278,3 +278,30 @@ def test_interval_join_bucketed_equals_broadcast(spark):
     # start inclusive / end exclusive: the boundary interval matches event 0
     assert (99 in set(naive.win_id)) and \
         set(naive[naive.win_id == 99].event_id) == {0}
+
+
+def test_hypertable_rollup_reaggregation_is_exact(spark, sf_dir):
+    """Coarser rollup levels are computed FROM the finer level; for algebraic
+    aggregates that must equal aggregating the raw data directly, at every
+    level — and exactly (decimal sums compose associatively)."""
+    from pyspark.sql import functions as F
+
+    from ficaria_spark import datagen
+    from ficaria_spark.operators.temporal import hypertable_rollup
+
+    ev = datagen.load(spark, sf_dir, "events")
+    got = hypertable_rollup(ev, ts="ts", keys=["event_type"],
+                            value_col="value",
+                            levels=("hour", "day", "week")).toPandas()
+    for lv in ("hour", "day", "week"):
+        direct = (
+            ev.groupBy(F.unix_micros(F.date_trunc(lv, "ts")).alias("b"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"))
+            .toPandas()
+        )
+        g = got[got.level == lv]
+        a = {(r.b, r.event_type): (r.n, r.s) for r in direct.itertuples()}
+        b = {(r.bucket_start_us, r.event_type): (r.n_rows, r.sum_value)
+             for r in g.itertuples()}
+        assert a == b, lv
