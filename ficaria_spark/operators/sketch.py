@@ -1,0 +1,74 @@
+"""Count-min sketch as a plain mergeable aggregation.
+
+The standard streaming frequency sketch (Cormode & Muthukrishnan), columnar:
+the sketch IS a (row, bucket, count) table of d·w counters — built with one
+explode + hash aggregation, merged by union + re-aggregation (counts add),
+queried by joining items against the counter table and taking the per-item
+minimum. No driver state, no UDFs; error bounds are the classic
+ε = e/w overestimate with probability 1−(1/2)^d (never underestimates).
+
+``hash_method="md5"`` is engine-portable (exact DuckDB oracle);
+``"xxhash64"`` is the native scale path (twin-tested via functions/xxh.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(item: Column, r: int, *, w: int, seed: int, hash_method: str) -> Column:
+    if hash_method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", item.cast("string"), F.lit(str(seed + r)))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w))
+    if hash_method == "xxhash64":
+        return F.pmod(F.xxhash64(item, F.lit(seed + r)), F.lit(w))
+    raise ValueError(f"hash_method must be 'md5' or 'xxhash64', got {hash_method!r}")
+
+
+def count_min_sketch(df: DataFrame, *, item_col: str, d: int = 4, w: int = 1024,
+                     seed: int = 9, weight_col: str | None = None,
+                     hash_method: str = "xxhash64") -> DataFrame:
+    """Build the sketch: (r, bucket, count) with d·w counters. Sparse —
+    untouched counters are implicit zeros. Merge sketches (same d/w/seed)
+    with ``a.unionByName(b).groupBy("r", "bucket").agg(sum("count"))``."""
+    item = F.col(item_col)
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 _bucket(item, r, w=w, seed=seed, hash_method=hash_method).alias("bucket"))
+        for r in range(d)
+    ])
+    ex = df.select(F.explode(pairs).alias("p"),
+                   *( [F.col(weight_col).alias("__wt")] if weight_col else [] ))
+    cnt = F.sum("__wt") if weight_col else F.count("*")
+    return (
+        ex.select("p.r", "p.bucket", *(["__wt"] if weight_col else []))
+        .groupBy("r", "bucket")
+        .agg(cnt.alias("count"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, *, item_col: str,
+                 d: int = 4, w: int = 1024, seed: int = 9,
+                 hash_method: str = "xxhash64") -> DataFrame:
+    """(item, est_count) — min over the d counters each item hashes to.
+    The sketch side is ≤ d·w rows → broadcast; per-item work is one
+    broadcast-hash-join probe + a min aggregation."""
+    item = F.col(item_col)
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 _bucket(item, r, w=w, seed=seed, hash_method=hash_method).alias("bucket"))
+        for r in range(d)
+    ])
+    probes = items.select(item, F.explode(pairs).alias("p")) \
+        .select(item_col, "p.r", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("est_count"))
+    )

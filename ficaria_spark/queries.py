@@ -637,6 +637,44 @@ def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_token_counts",
+    oracle=f"""
+WITH tok AS (SELECT unnest({datagen.token_sql()}) AS token FROM documents),
+tc AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token),
+probes AS (
+  SELECT token, r,
+         (('0x' || substr(md5(cast(token AS VARCHAR) || ':' ||
+                              cast(9 + r AS VARCHAR)), 1, 15))::BIGINT) % 256 AS bucket
+  FROM tok, unnest([0, 1, 2, 3]) AS t(r)
+),
+counters AS (SELECT r, bucket, count(*) AS cnt FROM probes GROUP BY r, bucket),
+est AS (
+  SELECT p.token, min(c.cnt) AS est_count
+  FROM (SELECT DISTINCT token, r, bucket FROM probes) p
+  JOIN counters c USING (r, bucket)
+  GROUP BY p.token
+)
+SELECT tc.token, tc.exact_count, est.est_count
+FROM tc JOIN est USING (token)
+""",
+)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (d=4, w=256) queried for every
+    distinct token, side by side with the exact counts — the sketch never
+    underestimates (CMS guarantee, also asserted by pytest)."""
+    from ficaria_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    tok = seqs.select(F.explode("tokens").alias("token"))
+    sk = count_min_sketch(tok, item_col="token", d=4, w=256, seed=9,
+                          hash_method="md5")
+    est = cms_estimate(sk, tok.distinct(), item_col="token", d=4, w=256,
+                       seed=9, hash_method="md5")
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    return exact.join(est, "token").select("token", "exact_count", "est_count")
+
+
+@register(
     "vocab_stats",
     oracle=f"""
 SELECT token,
