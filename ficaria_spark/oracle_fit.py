@@ -1047,6 +1047,8 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
             simhash_xxhash_expected(sf_dir)),
         "dedup_clusters": lambda: clusters_oracle_sql(
             dedup_clusters_expected(sf_dir)),
+        "dedup_clusters_star": lambda: clusters_oracle_sql(
+            dedup_clusters_expected(sf_dir)),
     }
     for name, build in builders.items():
         try:

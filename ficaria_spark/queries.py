@@ -1054,6 +1054,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@register("dedup_clusters_star")
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component resolution via large-star/small-star contraction
+    (O(log n) rounds) — must produce the identical relation, so it shares
+    the union-find twin oracle."""
+    from ficaria_spark.operators.dedup import dedup_clusters_star, minhash_dedup_pairs
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16,
+                                threshold=0.5, engine="arrow")
+    return dedup_clusters_star(pairs)
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.dedup import simhash_near_pairs

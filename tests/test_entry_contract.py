@@ -29,7 +29,7 @@ EXPECTED_ORACLE = {
     "pack_segments", "pack_sequences", "vocab_stats",
     "decontaminate", "hash_split", "stratified_sample", "pipeline_tokens",
     "token_bigrams", "dedup_clusters", "range_join_weeks", "rollup_events",
-    "cms_token_counts",
+    "cms_token_counts", "dedup_clusters_star",
 }
 # every registered query now carries an exact oracle (sequential transforms
 # and xxhash64 pipelines via driver-twin VALUES relations)
