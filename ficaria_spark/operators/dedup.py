@@ -71,26 +71,9 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
     if shingle_hash != "xxhash64":
         raise ValueError(f"shingle_hash must be 'md5' or 'xxhash64', got {shingle_hash!r}")
-    rng = np.random.default_rng(137)
-    coefs = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
-    wh = base.select(
-        "id", F.size("__w").alias("__n"),
-        F.transform("__w", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE))).alias("__wh"),
-    )
-    idx2 = F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(k), F.lit(0)))
-
-    def shingle_at(i):
-        terms = [
-            F.pmod(F.try_element_at("__wh", i + 1 + j) * F.lit(int(coefs[j])), F.lit(_MERSENNE))
-            for j in range(k)
-        ]
-        total = terms[0]
-        for t in terms[1:]:
-            total = total + t
-        return F.pmod(total, F.lit(_MERSENNE))
-
-    sh = F.transform(idx2, lambda i: F.coalesce(shingle_at(i), F.element_at("__wh", i + 1)))
-    return wh.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    coefs = np.random.default_rng(137).integers(1, _MERSENNE, size=k, dtype=np.int64)
+    arrays = _positional_shingle_arrays(base, k=k, coefs=coefs)
+    return arrays.select("id", F.explode("sh").alias("shingle"))
 
 
 def hot_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -189,6 +172,38 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _positional_shingle_arrays(words: DataFrame, *, k: int, coefs) -> DataFrame:
+    """(id, sh array<long>) — distinct positional-combo k-gram shingles over a
+    tokenized ``__w`` column: hash each WORD once (xxhash64 → < p), shingle
+    value = Σ cⱼ·h[i+j] mod p. No per-shingle string building; docs with < k
+    words fall back to their first word hash; NULL word arrays (null text)
+    yield NULL sh. Shared by shingles(shingle_hash="xxhash64") and
+    minhash_signatures — ONE kernel, different coefficient seeds."""
+    wh = words.select(
+        "id", F.size("__w").alias("__n"),
+        F.transform("__w", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE))).alias("__wh"),
+    )
+    idx2 = F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(k), F.lit(0)))
+
+    def shingle_at(i):
+        terms = [
+            F.pmod(F.try_element_at("__wh", i + 1 + j) * F.lit(int(coefs[j])), F.lit(_MERSENNE))
+            for j in range(k)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return F.pmod(total, F.lit(_MERSENNE))
+
+    sh = F.transform(idx2, lambda i: F.coalesce(shingle_at(i), F.element_at("__wh", i + 1)))
+    return wh.select(
+        "id",
+        F.when(F.col("__wh").isNull(), F.lit(None))
+        .otherwise(F.array_distinct(sh)).alias("sh"))
+
+
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        *, k: int = 3, num_hashes: int = 64, seed: int = 13,
                        shingle_hash: str = "xxhash64",
@@ -244,39 +259,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.when(F.col("__w").isNull(), F.lit(None))
             .otherwise(F.array_distinct(sh)).alias("sh"))
     else:
-        # allocation-light scale path: hash each WORD once (xxhash64 → <p),
-        # then shingle value = positional linear combination of the k word
-        # hashes (Σ cⱼ·h[i+j] mod p) — no per-shingle string building, no
-        # slicing, O(1) element_at reads on the materialized __wh column.
-        # Each cⱼ·h < 2⁶² and the k-term sum < k·p — ANSI-safe.
-        rng = np.random.default_rng(seed + 101)
-        coefs = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
-        wh = words.select(
-            "id", F.size("__w").alias("__n"),
-            F.transform("__w", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE))).alias("__wh"),
-        )
-        idx2 = F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(k), F.lit(0)))
-
-        def shingle_at(i):
-            # try_element_at: reads past the end (docs with < k words) give
-            # NULL instead of an ANSI index error; coalesce handles the stub
-            terms = [
-                F.pmod(F.try_element_at("__wh", i + 1 + j) * F.lit(int(coefs[j])), F.lit(_MERSENNE))
-                for j in range(k)
-            ]
-            total = terms[0]
-            for t in terms[1:]:
-                total = total + t
-            return F.pmod(total, F.lit(_MERSENNE))
-
-        # element_at past the array end yields NULL for the tail stub row of
-        # very short docs; coalesce keeps the reference semantics (a single
-        # shingle for docs with < k words)
-        sh = F.transform(idx2, lambda i: F.coalesce(shingle_at(i), F.element_at("__wh", i + 1)))
-        base = wh.select(
-            "id",
-            F.when(F.col("__wh").isNull(), F.lit(None))
-            .otherwise(F.array_distinct(sh)).alias("sh"))
+        # allocation-light scale path: the shared positional-combo kernel
+        # (Σ cⱼ·h[i+j] mod p of per-word xxhash64) — no per-shingle string
+        # building. Each cⱼ·h < 2⁶² and the k-term sum < k·p — ANSI-safe.
+        coefs = np.random.default_rng(seed + 101).integers(
+            1, _MERSENNE, size=k, dtype=np.int64)
+        base = _positional_shingle_arrays(words, k=k, coefs=coefs)
 
     if engine == "arrow":
         a64 = a_params.astype(np.int64)
@@ -375,7 +363,14 @@ def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
 
     def bucket_of(bi):
         sl = F.slice("signature", bi * rows_per_band + 1, rows_per_band)
-        return F.xxhash64(sl) if hash_buckets else sl
+        if not hash_buckets:
+            return sl
+        # NULL signatures must yield NULL buckets: F.xxhash64(NULL) returns
+        # the SEED, which would collide every null-signature doc into one
+        # bucket per band (O(m²) candidate blowup); a NULL bucket never
+        # satisfies the equality join instead
+        return F.when(F.col("signature").isNull(), F.lit(None).cast("long")) \
+                .otherwise(F.xxhash64(sl))
 
     banded = sigs.select(
         "id",
@@ -495,9 +490,14 @@ def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         edges = nxt
         if not delta:
             break
-    # stars point larger → smaller; a node's parent IS the component min
-    parents = edges.select(F.col("src").alias("doc_id"),
-                           F.col("dst").alias("cluster_rep"))
+    # stars point larger → smaller; a node's parent IS the component min.
+    # min-aggregate defensively: if max_iter was exhausted before
+    # convergence a node could still carry several parents, and the output
+    # contract is one row per doc (min is also the correct limit value)
+    parents = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("cluster_rep"))
+    )
     return (
         all_ids.join(parents, "doc_id", "left")
         .select("doc_id",

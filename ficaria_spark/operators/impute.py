@@ -507,7 +507,12 @@ class FCMKIterativeImputer(_ImputerBase):
         # algorithm is order-sensitive (later rows see earlier imputations) —
         # impose a canonical order (sort by the feature tuple) so results are
         # reproducible across runs and cluster layouts.
-        sort_keys = cols + [c for c in self.order_cols if c in df.columns]
+        missing_order = [c for c in self.order_cols if c not in df.columns]
+        if missing_order:
+            raise ValueError(
+                f"order_cols {missing_order} not present in the transform "
+                f"input — the determinism contract needs them")
+        sort_keys = cols + self.order_cols
 
         def ki(pdf: pd.DataFrame) -> pd.DataFrame:
             st = bc.value
@@ -844,7 +849,12 @@ class FCMDTIterativeImputer(_ImputerBase):
                       max_iter=self.max_FCM_iter, tol=self.tol,
                       random_state=self.random_state)
 
-        refine_keys = cols + [c for c in self.order_cols if c in df.columns]
+        missing_order = [c for c in self.order_cols if c not in df.columns]
+        if missing_order:
+            raise ValueError(
+                f"order_cols {missing_order} not present in the transform "
+                f"input — the determinism contract needs them")
+        refine_keys = cols + self.order_cols
 
         def make_refine(j: int, jleaf: str, jmask: str):
             def refine(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ficaria_spark.plans.cache import tracked_persist
 
 from ficaria_spark.functions import fuzzyrough as fr
 from ficaria_spark.functions import granularity as gr
@@ -95,7 +94,9 @@ class FuzzyGranularitySelector:
         stats = {c: gr.column_stats(pdf[c], self.eps) for c in pdf.columns}
         work = pdf.copy()
         work["__rid"] = np.arange(len(work))
-        sdf = tracked_persist(spark.createDataFrame(work))
+        # plain persist (NOT tracked): fit fully consumes and releases
+        # this frame itself before returning
+        sdf = spark.createDataFrame(work).persist()
         self._fit_caches = getattr(self, "_fit_caches", []) + [sdf]
         nb = self.nb
 
@@ -259,7 +260,8 @@ class WeightedFuzzyRoughSelector:
 
         def builder(M, MH, yH, classes, is_num, W_diag):
             pdf_all = pd.DataFrame(M)
-            sdf = tracked_persist(spark.createDataFrame(pdf_all.rename(columns=str)))
+            # plain persist (NOT tracked): released at the end of fit
+            sdf = spark.createDataFrame(pdf_all.rename(columns=str)).persist()
             self._fit_caches = getattr(self, "_fit_caches", []) + [sdf]
             n_rows = len(M)
             bc = spark.sparkContext.broadcast(

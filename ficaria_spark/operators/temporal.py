@@ -389,6 +389,22 @@ def hypertable_rollup(
     """
     if not levels:
         raise ValueError("levels must be non-empty")
+    # re-aggregation from the finer level is only exact when every finer
+    # bucket lies entirely inside one coarser bucket; weeks do NOT nest in
+    # months/quarters/years (a week can straddle a month boundary)
+    aligned = {
+        ("minute", "hour"), ("minute", "day"), ("hour", "day"),
+        ("hour", "week"), ("day", "week"),
+        ("hour", "month"), ("day", "month"), ("month", "quarter"),
+        ("month", "year"), ("quarter", "year"), ("day", "quarter"),
+        ("day", "year"),
+    }
+    for fine, coarse in zip(levels, levels[1:]):
+        if (fine, coarse) not in aligned:
+            raise ValueError(
+                f"level chain {fine!r} → {coarse!r} is not boundary-aligned "
+                f"(e.g. weeks straddle month boundaries); reorder the levels "
+                f"or compute the misaligned level in a separate call")
     keys = list(keys)
 
     def agg_of(src: DataFrame, level: str, *, from_raw: bool) -> DataFrame:

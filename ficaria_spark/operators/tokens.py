@@ -46,24 +46,33 @@ def _offsets_two_level(base: DataFrame, by: str, order_col: str,
     bases, then one sorted map pass adds base + local cumsum. No group ever
     serializes through a single window sort — the 100× path for skewed
     group distributions."""
+    # localCheckpoint BEFORE the totals collect: range boundaries are
+    # sample-based, so re-executing the repartitionByRange plan in a second
+    # job could assign boundary rows to different partitions than the
+    # totals saw — pin ONE materialized partitioning for both passes
     part = (
         base.repartitionByRange(num_buckets, F.col(by), F.col(order_col))
         .sortWithinPartitions(by, order_col)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     totals = (
         part.groupBy("__pid", by).agg(F.sum("__n").alias("__t"))
         .collect()
     )
-    bases: dict[tuple[int, str], int] = {}
-    acc: dict[str, int] = {}
-    for r in sorted(totals, key=lambda r: (r[by], r["__pid"])):
+    bases: dict[tuple[int, object], int] = {}
+    acc: dict[object, int] = {}
+    # group key None (NULL group) sorts first; only the pid order WITHIN a
+    # group matters for the prefix
+    for r in sorted(totals,
+                    key=lambda r: (r[by] is not None, r[by] or "", r["__pid"])):
         g = r[by]
         bases[(int(r["__pid"]), g)] = acc.get(g, 0)
         acc[g] = acc.get(g, 0) + int(r["__t"])
     spark = base.sparkSession
     bc = spark.sparkContext.broadcast(bases)
 
+    import numpy as np
     import pandas as pd
 
     out_schema = part.withColumn("__off", F.lit(0).cast("long")).drop("__pid").schema
@@ -71,18 +80,29 @@ def _offsets_two_level(base: DataFrame, by: str, order_col: str,
 
     def add_offsets(it):
         b = bc.value
-        run: dict[str, int] = {}  # per-group cumsum carried ACROSS arrow batches
+        run: dict[object, int] = {}  # per-group cumsum carried ACROSS arrow batches
+
+        def norm(g):
+            return None if pd.isna(g) else g
+
         for pdf in it:
             if not len(pdf):
                 continue
             # rows arrive sorted by (by, order) within the partition; batches
-            # arrive in partition order, so the carry dict stays consistent
-            local = (pdf.groupby(by, sort=False)["__n"].cumsum() - pdf["__n"]).to_numpy()
-            carry = pdf[by].map(lambda g: run.get(g, 0)).to_numpy()
-            base_off = pd.Series(
-                [b[(int(p), g)] for p, g in zip(pdf["__pid"], pdf[by])]).to_numpy()
+            # arrive in partition order, so the carry dict stays consistent.
+            # factorize keys NULL groups too (plain groupby drops them), and
+            # all grouping runs on the integer codes.
+            codes, uniques = pd.factorize(pdf[by], use_na_sentinel=False)
+            key_of = [norm(u) for u in uniques]
+            local = (pdf["__n"].groupby(codes).cumsum() - pdf["__n"]).to_numpy()
+            row_keys = [key_of[c] for c in codes]
+            carry = np.array([run.get(g, 0) for g in row_keys], dtype=np.int64)
+            base_off = np.array(
+                [b[(int(p), g)] for p, g in zip(pdf["__pid"], row_keys)],
+                dtype=np.int64)
             pdf = pdf.assign(__off=(local + carry + base_off).astype("int64"))
-            for g, s in pdf.groupby(by, sort=False)["__n"].sum().items():
+            for code, s in pdf["__n"].groupby(codes).sum().items():
+                g = key_of[code]
                 run[g] = run.get(g, 0) + int(s)
             yield pdf[names]
 
@@ -139,7 +159,8 @@ def pack_segments(df: DataFrame, *, context_len: int,
 def pack_sequences(df: DataFrame, *, context_len: int,
                    tokens_col: str = "tokens", n_tok_col: str = "n_tok",
                    id_col: str = "doc_id", by: str = "source",
-                   order_col: str | None = None) -> DataFrame:
+                   order_col: str | None = None,
+                   num_buckets: int | None = None) -> DataFrame:
     """(by, pack_id, n_tok, tokens) — the materialized packed examples.
 
     Join the segment plan back to the token arrays, slice each doc's
@@ -149,7 +170,8 @@ def pack_sequences(df: DataFrame, *, context_len: int,
     tokens; per-row token-array equality against the reference stream holds
     by construction (slices never reorder within a doc)."""
     segs = pack_segments(df, context_len=context_len, n_tok_col=n_tok_col,
-                         id_col=id_col, by=by, order_col=order_col)
+                         id_col=id_col, by=by, order_col=order_col,
+                         num_buckets=num_buckets)
     toks = df.select(id_col, F.col(tokens_col).alias("__toks"))
     pieces = segs.join(toks, id_col).select(
         by, "pack_id", "pack_off",

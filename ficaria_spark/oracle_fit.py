@@ -761,8 +761,12 @@ def minhash_xxhash_expected(sf_dir: str, *, k: int = 3, num_hashes: int = 64,
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         if text is None or (isinstance(text, float) and np.isnan(text)):
             continue
+        # mirror the ENGINE's tokenization exactly: F.trim strips ASCII
+        # spaces only, and Java's \s is the ASCII class — Python's unicode
+        # defaults would diverge on NBSP/tab-led text
         wh = np.array([spark_xxhash64_str(w) % p
-                       for w in re.split(r"\s+", text.strip())], dtype=np.int64)
+                       for w in re.split("[ \t\n\x0b\f\r]+", text.strip(" "))],
+                      dtype=np.int64)
         n = len(wh)
         if n >= k:
             m = n - k + 1
@@ -817,7 +821,7 @@ def simhash_xxhash_expected(sf_dir: str, *, max_hamming: int = 10,
         else:
             hs = np.array(
                 [spark_xxhash64_str_int(w.lower(), seed)
-                 for w in re.split(r"\s+", text.strip())],
+                 for w in re.split("[ \t\n\x0b\f\r]+", text.strip(" "))],
                 dtype=np.int64).view(np.uint64)
             votes = 2 * ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
                 .astype(np.int32).sum(axis=0) - len(hs)

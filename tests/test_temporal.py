@@ -305,3 +305,15 @@ def test_hypertable_rollup_reaggregation_is_exact(spark, sf_dir):
         b = {(r.bucket_start_us, r.event_type): (r.n_rows, r.sum_value)
              for r in g.itertuples()}
         assert a == b, lv
+
+
+def test_hypertable_rollup_rejects_misaligned_levels(spark, sf_dir):
+    import pytest
+
+    from ficaria_spark import datagen
+    from ficaria_spark.operators.temporal import hypertable_rollup
+
+    ev = datagen.load(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="not boundary-aligned"):
+        hypertable_rollup(ev, ts="ts", value_col="value",
+                          levels=("day", "week", "month"))

@@ -133,3 +133,18 @@ def test_token_ngrams_matches_python(spark):
     assert got_map == {g: (occ[g], docs[g]) for g in occ}
     # short/empty docs contribute nothing and never crash the slice
     assert all(len(g) == 3 for g in got.ngram)
+
+
+def test_pack_segments_two_level_handles_null_groups(spark):
+    """NULL `source` values form their own packing group in BOTH offset
+    paths (the two-level path used to crash on null group keys)."""
+    sdf, _ = _seqs(spark, n=60, seed=31)
+    import pyspark.sql.functions as F
+    sdf = sdf.withColumn(
+        "source", F.when(F.col("doc_id").substr(2, 3).cast("int") % 4 == 0,
+                         F.lit(None)).otherwise(F.col("source")))
+    key = ["source", "pack_id", "doc_id"]
+    a = pack_segments(sdf, context_len=L).orderBy(*key).toPandas()
+    b = pack_segments(sdf, context_len=L, num_buckets=5).orderBy(*key).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert a.source.isna().any()  # the null group actually exists
