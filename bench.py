@@ -47,7 +47,7 @@ HEADLINE = [
     "pipeline_tokens",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "knn_cosine_blocked",
+    "knn_cosine",
     "text_stats",
 ]
 
