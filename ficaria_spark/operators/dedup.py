@@ -68,7 +68,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if shingle_hash == "md5":
         idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
         sh = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(F.col("__w"), i + 1, k), " ")))
-        return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        # null-text docs must emit NO rows, matching the xxhash64 branch's
+        # NULL-array guard (ADVICE r3: the md5 path used to explode a [null]
+        # array into an (id, NULL) shingle row, skewing shingles()/
+        # hot_shingles() cardinalities across hash families)
+        return (base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+                .where(F.col("shingle").isNotNull()))
     if shingle_hash != "xxhash64":
         raise ValueError(f"shingle_hash must be 'md5' or 'xxhash64', got {shingle_hash!r}")
     coefs = np.random.default_rng(137).integers(1, _MERSENNE, size=k, dtype=np.int64)

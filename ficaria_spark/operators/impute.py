@@ -424,18 +424,37 @@ class FCMKIterativeImputer(_ImputerBase):
     Skewed cluster sizes are the skew risk here — AQE handles the join side;
     for aggregation-side skew see operators/skew.py.
 
-    **Scale ceiling and the ``bucket_size`` escape hatch.** With the
-    reference's semantics the transform's parallelism is capped at
-    ``n_clusters`` tasks, and each task holds a whole cluster in one pandas
-    frame — fine at fit scale, a ceiling at 100×. Passing ``bucket_size=N``
-    splits every cluster into deterministic hash buckets of ≈N rows that are
-    imputed independently, sharing only the broadcast fit-train pool. This is
-    a DOCUMENTED SEMANTICS DEVIATION from the reference: a row no longer sees
-    imputations of same-cluster rows in *other* buckets (it still sees
-    earlier rows in its own bucket and the whole train pool). Parallelism
-    becomes Σ ceil(cluster/N) tasks and per-task memory is bounded by N.
-    Default ``None`` preserves reference semantics exactly.
+    **Scale ceiling and the ``bucket_size`` modes.** With the reference's
+    semantics the transform's parallelism is capped at ``n_clusters`` tasks,
+    and each task holds a whole cluster in one pandas frame — fine at fit
+    scale, a ceiling at 100×. ``bucket_size=N`` splits every cluster into
+    deterministic hash buckets of ≈N rows that are imputed independently,
+    sharing only the broadcast fit-train pool. This is a DOCUMENTED SEMANTICS
+    DEVIATION from the reference: a row no longer sees imputations of
+    same-cluster rows in *other* buckets (it still sees earlier rows in its
+    own bucket and the whole train pool). Parallelism becomes
+    Σ ceil(cluster/N) tasks and per-task memory is bounded by N.
+
+    - ``bucket_size=None`` (default) — AUTO: buckets of ``AUTO_BUCKET_ROWS``
+      (100k) rows. Clusters at or under the threshold get exactly one bucket,
+      i.e. bit-identical reference semantics; an oversized cluster is split
+      (with a ``UserWarning`` naming the deviation) instead of silently
+      capping the job at k tasks and one monster pandas frame. A 100×-scale
+      user gets the scale path without knowing to ask for it.
+    - ``bucket_size=0`` — exact-reference mode: never bucket, never run the
+      sizing pre-pass (zero extra jobs; this is what the parity tests pin).
+    - ``bucket_size=N>0`` — explicit bucket rows.
+
+    Bucketing modes run ONE extra sizing job: the tagged frame is
+    tracked_persist()-ed, counted per cluster (k rows to the driver), and
+    reused by the main pass — the per-row FCM tagging never computes twice.
+    Call ``plans.cache.release_operator_caches()`` after the consuming
+    action, per the library-wide cache contract.
     """
+
+    #: auto-mode bucket rows: clusters larger than this deviate (split);
+    #: smaller clusters keep exact reference semantics (single bucket)
+    AUTO_BUCKET_ROWS = 100_000
 
     def __init__(self, n_clusters: int | None = None, m: float = 2.0,
                  max_clusters: int = 10, max_k: int = 10, max_FCM_iter: int = 100,
@@ -445,8 +464,9 @@ class FCMKIterativeImputer(_ImputerBase):
                  order_cols: Sequence[str] | None = None,
                  bucket_size: int | None = None):
         super().__init__(feature_cols, fit_cap)
-        if bucket_size is not None and (not isinstance(bucket_size, int) or bucket_size < 1):
-            raise ValueError(f"bucket_size must be a positive int or None, got {bucket_size}")
+        if bucket_size is not None and (not isinstance(bucket_size, int) or bucket_size < 0):
+            raise ValueError(
+                f"bucket_size must be a non-negative int or None, got {bucket_size}")
         self.bucket_size = bucket_size
         validate_params({"n_clusters_nullable": n_clusters, "m": m,
                          "max_clusters": max_clusters,
@@ -535,9 +555,11 @@ class FCMKIterativeImputer(_ImputerBase):
 
     def _tag_and_bucket(self, df: DataFrame, bc) -> tuple[DataFrame, list[str]]:
         """① tag rows with their argmax-membership cluster (map-only,
-        Arrow-vectorized); with ``bucket_size`` set, also assign deterministic
-        intra-cluster hash buckets (one lightweight count pre-pass: k rows to
-        the driver) so group parallelism is Σ ceil(cluster/bucket_size), not k."""
+        Arrow-vectorized); in bucketing modes, also assign deterministic
+        intra-cluster hash buckets (one sizing job over the persisted tagged
+        frame: k rows to the driver) so group parallelism is
+        Σ ceil(cluster/bucket_size), not k. See the class docstring for the
+        bucket_size mode table."""
         cols = self.feature_names_in_
 
         def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -556,11 +578,32 @@ class FCMKIterativeImputer(_ImputerBase):
         tagged_schema = T.StructType(
             df.schema.fields + [T.StructField("__cluster", T.IntegerType())])
         tagged = df.mapInPandas(tag, tagged_schema)
-        if not self.bucket_size:
+        if self.bucket_size == 0:  # exact-reference mode: no sizing job
             return tagged, ["__cluster"]
+        bucket_rows = self.bucket_size or self.AUTO_BUCKET_ROWS
+        # persist BEFORE the sizing count so the per-row FCM tagging runs
+        # once, not once per job; released by the caller's cache contract
+        from ficaria_spark.plans.cache import tracked_persist
+        tagged = tracked_persist(tagged)
         counts = tagged.groupBy("__cluster").agg(F.count("*").alias("cnt")).collect()
-        nb = {int(r["__cluster"]): max(1, -(-int(r["cnt"]) // self.bucket_size))
+        nb = {int(r["__cluster"]): max(1, -(-int(r["cnt"]) // bucket_rows))
               for r in counts}
+        if self.bucket_size is None and all(v == 1 for v in nb.values()):
+            # auto mode, no oversized cluster → exact reference semantics,
+            # plain per-cluster grouping
+            return tagged, ["__cluster"]
+        if self.bucket_size is None:
+            import warnings
+            big = {c: v for c, v in nb.items() if v > 1}
+            warnings.warn(
+                "FCKI auto-bucketing engaged: cluster(s) "
+                f"{sorted(big)} exceed AUTO_BUCKET_ROWS="
+                f"{self.AUTO_BUCKET_ROWS} rows and were split into "
+                f"{big} hash buckets imputed independently (documented "
+                "deviation from reference semantics: rows do not see "
+                "imputations from other buckets of their cluster; pass "
+                "bucket_size=0 to force exact semantics at k-task "
+                "parallelism)", UserWarning, stacklevel=3)
         nb_map = F.create_map(*[F.lit(v) for kv in sorted(nb.items()) for v in kv])
         # bucket id from the row's own values (features + tiebreak cols):
         # deterministic under any partitioning, no extra shuffle

@@ -103,10 +103,19 @@ def block_pair_sums(
 
     if out_names is not None:
         names = list(out_names)
-    else:  # discover output names with an empty-frame probe
-        probe = kernel(
-            df.select(*sel).limit(0).toPandas(), df.select(*sel).limit(0).toPandas()
-        )
+    else:
+        # discover output names by probing the kernel with an empty LOCAL
+        # pandas frame of the right columns — plan construction must never
+        # run a Spark job (the old limit(0).toPandas() probe ran two)
+        import numpy as _np
+        from pyspark.sql import types as _T
+
+        sel_fields = {f.name: f.dataType for f in df.select(*sel).schema.fields}
+        empty = pd.DataFrame({
+            name: pd.Series(dtype=(
+                _np.float64 if isinstance(dt, _T.NumericType) else object))
+            for name, dt in sel_fields.items()})
+        probe = kernel(empty, empty.copy())
         names = sorted(probe.keys())
     out_schema = f"{row_id} long, " + ", ".join(f"`{n}` double" for n in names)
 

@@ -59,17 +59,22 @@ def hash_split(df: DataFrame, weights: dict[str, float], *,
     """Attach a ``split`` column assigning each row to exactly one named
     split with the given weights (must sum to 1): cumulative threshold CASE
     over the key hash. Order of ``weights`` fixes the threshold layout —
-    use the same dict order everywhere."""
+    use the same dict order everywhere.
+
+    Thresholds accumulate in EXACT integers: the k-th boundary is
+    Σ_{i≤k} int(wᵢ·2⁶⁰), a pure function of the individual weights — no
+    float-order sensitivity, so an oracle (or a re-run on other hardware)
+    reproduces every boundary from the weights alone (ADVICE r3)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
     h = hash_unit_int(key_col, seed=seed, method=method)
     expr = None
-    acc = 0.0
+    acc = 0
     items = list(weights.items())
     for name, wgt in items[:-1]:
-        acc += wgt
-        cond = h < F.lit(_threshold(acc))
+        acc += _threshold(wgt)
+        cond = h < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))

@@ -62,10 +62,11 @@ def _offsets_two_level(base: DataFrame, by: str, order_col: str,
     )
     bases: dict[tuple[int, object], int] = {}
     acc: dict[object, int] = {}
-    # group key None (NULL group) sorts first; only the pid order WITHIN a
-    # group matters for the prefix
+    # only the pid order WITHIN a group matters for the prefix; str() keys
+    # make the sort total for ANY group-key type (a falsy non-string key
+    # like numeric 0 must not collapse to "" and mix int/str comparison)
     for r in sorted(totals,
-                    key=lambda r: (r[by] is not None, r[by] or "", r["__pid"])):
+                    key=lambda r: (r[by] is None, str(r[by]), r["__pid"])):
         g = r[by]
         bases[(int(r["__pid"]), g)] = acc.get(g, 0)
         acc[g] = acc.get(g, 0) + int(r["__t"])

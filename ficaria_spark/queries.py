@@ -189,18 +189,21 @@ FROM events GROUP BY 2, 3"""
 @register(
     "rollup_events",
     oracle="\nUNION ALL\n".join(
-        _ROLLUP_LEVEL_SQL.format(lv=lv) for lv in ("hour", "day", "week")),
+        _ROLLUP_LEVEL_SQL.format(lv=lv)
+        for lv in ("hour", "day", "week", "month")),
 )
 def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: hour/day/week rollups where
-    each coarser level re-aggregates the finer one (raw data is scanned
-    once; algebraic aggregates compose exactly, so the oracle can compute
-    every level directly from raw)."""
+    """Hypertable-style continuous aggregate: hour/day/week/month rollups.
+    Each coarser level re-aggregates the coarsest finer level it nests in —
+    week AND month both re-agg day (weeks straddle month boundaries), so the
+    misaligned pair coexists in one call with one raw scan; algebraic
+    aggregates compose exactly, so the oracle computes every level from
+    raw."""
     from ficaria_spark.operators.temporal import hypertable_rollup
 
     ev = datagen.load(spark, sf_dir, "events")
-    return hypertable_rollup(ev, ts="ts", keys=["event_type"],
-                             value_col="value", levels=("hour", "day", "week"))
+    return hypertable_rollup(ev, ts="ts", keys=["event_type"], value_col="value",
+                             levels=("hour", "day", "week", "month"))
 
 
 @register(
@@ -795,9 +798,13 @@ def _register_imputers():
         uses a fixed-size input across scale factors (the full-input variant
         stays in the gate as impute_fcki)."""
         m = _part_matrix(spark, sf_dir).where(F.col("row_id") <= 2000)
+        # bucket_size=0 (exact-reference mode, no sizing job): the input is
+        # capped small BY CONSTRUCTION, which is precisely when the caller
+        # should pin exact mode; impute_fcki keeps the auto default so the
+        # gate also exercises the default path
         imp = FCMKIterativeImputer(n_clusters=3, random_state=42,
                                    feature_cols=_IMPUTE_FEATS,
-                                   order_cols=("row_id",))
+                                   order_cols=("row_id",), bucket_size=0)
         out = imp.fit(m).transform(m)
         return out.select(
             "row_id", *[F.round(F.col(c), 6).alias(c) for c in _IMPUTE_FEATS])
@@ -923,7 +930,7 @@ SELECT doc_id,
        CASE WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
                  < {int(0.9 * (1 << 60))} THEN 'train'
             WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
-                 < {int(0.95 * (1 << 60))} THEN 'val'
+                 < {int(0.9 * (1 << 60)) + int(0.05 * (1 << 60))} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """,

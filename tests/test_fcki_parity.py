@@ -96,3 +96,81 @@ def test_fcki_bucketed_breaks_cluster_parallelism_ceiling(spark):
     b = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)).repartition(11)
     rb = imp.transform(b).orderBy("row_id").toPandas()
     assert np.allclose(out[FEATS].to_numpy(float), rb[FEATS].to_numpy(float))
+
+
+def test_fcki_auto_mode_exact_below_threshold(spark):
+    """Default (bucket_size=None) auto mode: with every cluster under
+    AUTO_BUCKET_ROWS it must keep exact reference semantics — bit-identical
+    to bucket_size=0 (the pinned exact mode)."""
+    pdf = _frame(seed=55)
+    sdf = spark.createDataFrame(pdf)
+    mk = lambda bs: FCMKIterativeImputer(  # noqa: E731
+        n_clusters=2, random_state=9, feature_cols=FEATS, bucket_size=bs)
+    auto = mk(None).fit(sdf).transform(sdf).orderBy("row_id").toPandas()
+    exact = mk(0).fit(sdf).transform(sdf).orderBy("row_id").toPandas()
+    assert np.allclose(auto[FEATS].to_numpy(float), exact[FEATS].to_numpy(float))
+
+
+def test_fcki_auto_mode_buckets_oversized_cluster(spark, monkeypatch):
+    """An oversized cluster at default settings must NOT funnel into one
+    k-task pandas frame: auto mode splits it (>k groups) and warns about
+    the documented semantics deviation. Result equals the explicit
+    bucket_size path of the same size (shared code path, pinned anyway)."""
+    import warnings
+
+    monkeypatch.setattr(FCMKIterativeImputer, "AUTO_BUCKET_ROWS", 40)
+    pdf = _frame(seed=66, n=300)
+    sdf = spark.createDataFrame(pdf)
+    imp = FCMKIterativeImputer(n_clusters=2, random_state=7, feature_cols=FEATS)
+    imp.fit(sdf)
+
+    bc = spark.sparkContext.broadcast({
+        "centers": imp.centers_, "m": imp.m, "means": imp.means_,
+        "train": imp.X_train_, "labels": imp.labels_train_,
+        "seed": imp.random_state, "max_k": imp.max_k,
+        "max_ii": imp.max_II_iter,
+        "vmin": imp.min_value_, "vmax": imp.max_value_})
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tagged, keys = imp._tag_and_bucket(imp._cast_features(sdf), bc)
+    assert keys == ["__cluster", "__bucket"]
+    assert tagged.select(*keys).distinct().count() > imp.n_clusters_
+    assert any("auto-bucketing engaged" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        auto = imp.transform(sdf).orderBy("row_id").toPandas()
+    expl = FCMKIterativeImputer(n_clusters=2, random_state=7,
+                                feature_cols=FEATS, bucket_size=40)
+    expl = expl.fit(sdf).transform(sdf).orderBy("row_id").toPandas()
+    assert np.allclose(auto[FEATS].to_numpy(float), expl[FEATS].to_numpy(float))
+
+
+def test_fcki_transform_job_counts(spark):
+    """Driver round-trip budget (VERDICT r3 #7): exact mode (bucket_size=0)
+    runs exactly ONE job chain per transform action; auto/bucketed mode adds
+    exactly one sizing job over the persisted tagged frame (the tagging UDF
+    never computes twice)."""
+    from ficaria_spark.plans.cache import release_operator_caches
+
+    pdf = _frame(seed=77)
+    sdf = spark.createDataFrame(pdf)
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for mode, max_jobs, group in ((0, 1, "fcki-exact"), (None, 2, "fcki-auto")):
+            imp = FCMKIterativeImputer(n_clusters=2, random_state=3,
+                                       feature_cols=FEATS, bucket_size=mode)
+            imp.fit(sdf)
+            sc.setJobGroup(group, "count transform jobs")
+            try:
+                assert imp.transform(sdf).count() == len(pdf)
+            finally:
+                sc.setJobGroup(None, None)
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+            assert len(jobs) <= max_jobs, (
+                f"{group}: {len(jobs)} jobs (budget {max_jobs})")
+            release_operator_caches()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

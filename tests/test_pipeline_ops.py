@@ -543,3 +543,20 @@ def test_dedup_clusters_star_matches_label_propagation(spark):
     assert ma == mb
     # the chain resolves to its minimum
     assert all(ma[i] == 100 for i in range(100, 131))
+
+
+def test_shingles_null_text_emits_no_rows_both_hash_families(spark):
+    """Null-text docs emit ZERO shingle rows in BOTH hash families (ADVICE
+    r3: the md5 branch used to emit an (id, NULL) row while xxhash64 emitted
+    nothing, so shingles()/hot_shingles() cardinalities diverged)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta", None, "alpha beta gamma delta"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    for fam in ("md5", "xxhash64"):
+        sh = dd.shingles(sdf, shingle_hash=fam).toPandas()
+        assert set(sh.id) == {1, 3}, fam
+        assert sh.shingle.notna().all(), fam

@@ -227,3 +227,31 @@ def test_figfs_mixed_numeric_and_nominal(spark):
     assert sel.S_[0] == "cat1"            # the predictive nominal wins
     assert len(out.columns) == 2
     assert out.count() == n
+
+
+def test_block_pair_sums_probe_runs_no_spark_jobs(spark):
+    """out_names=None discovers the kernel's output names via an empty LOCAL
+    pandas probe — plan construction must trigger zero Spark jobs
+    (VERDICT r3 #6: the old limit(0).toPandas() probe ran two)."""
+    import numpy as np
+
+    from ficaria_spark.operators.pairwise import block_pair_sums
+
+    pdf = _dataset(13, n=30)
+    work = pdf.copy()
+    work["__rid"] = np.arange(len(work))
+    sdf = spark.createDataFrame(work)
+
+    def kernel(l, r):
+        return {"s": np.ones(len(l)) * len(r)}
+
+    sc = spark.sparkContext
+    sc.setJobGroup("pair-probe", "plan construction must be job-free")
+    try:
+        plan = block_pair_sums(sdf, "__rid", list(pdf.columns), kernel, nb=4)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("pair-probe") == [], \
+        "plan construction ran Spark jobs"
+    out = plan.orderBy("__rid").toPandas()
+    assert np.allclose(out["s"].to_numpy(), len(work))

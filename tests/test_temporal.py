@@ -307,13 +307,76 @@ def test_hypertable_rollup_reaggregation_is_exact(spark, sf_dir):
         assert a == b, lv
 
 
-def test_hypertable_rollup_rejects_misaligned_levels(spark, sf_dir):
+def test_hypertable_rollup_misaligned_neighbours_use_aligned_source(spark, sf_dir):
+    """("day", "week", "month"): month must NOT re-agg week (weeks straddle
+    month boundaries) — it re-aggs day, and every level is still exact vs
+    aggregating raw directly. A level that nests in nothing computed before
+    it (month in a week-rooted chain) still raises at plan time."""
     import pytest
+    from pyspark.sql import functions as F
 
     from ficaria_spark import datagen
     from ficaria_spark.operators.temporal import hypertable_rollup
 
     ev = datagen.load(spark, sf_dir, "events")
+    got = hypertable_rollup(ev, ts="ts", value_col="value",
+                            levels=("day", "week", "month")).toPandas()
+    for lv in ("day", "week", "month"):
+        direct = (
+            ev.groupBy(F.unix_micros(F.date_trunc(lv, "ts")).alias("b"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"))
+            .toPandas()
+        )
+        g = got[got.level == lv]
+        a = {r.b: (r.n, r.s) for r in direct.itertuples()}
+        b = {r.bucket_start_us: (r.n_rows, r.sum_value) for r in g.itertuples()}
+        assert a == b, lv
+
     with pytest.raises(ValueError, match="not boundary-aligned"):
         hypertable_rollup(ev, ts="ts", value_col="value",
-                          levels=("day", "week", "month"))
+                          levels=("week", "month"))
+    with pytest.raises(ValueError, match="unknown rollup level"):
+        hypertable_rollup(ev, ts="ts", value_col="value",
+                          levels=("day", "fortnight"))
+
+
+def test_interval_join_auto_mode_picks_safe_plan(spark):
+    """bucket_width_seconds=None (default) must never unconditionally
+    broadcast: a small interval side takes the broadcast NLJ; above
+    broadcast_row_limit the bucketed equi-join engages (no
+    BroadcastNestedLoopJoin in the plan) with identical output."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from ficaria_spark.operators.temporal import interval_join
+
+    rng = np.random.default_rng(12)
+    t0 = dt.datetime(2024, 3, 1)
+    ev = pd.DataFrame({
+        "event_id": range(200),
+        "ts": [t0 + dt.timedelta(minutes=int(rng.integers(0, 5_000)))
+               for _ in range(200)],
+    })
+    iv_rows = []
+    for i in range(60):
+        s = t0 + dt.timedelta(minutes=int(rng.integers(0, 4_500)))
+        iv_rows.append((i, s, s + dt.timedelta(minutes=int(rng.integers(1, 300)))))
+    iv = pd.DataFrame(iv_rows, columns=["win_id", "ws", "we"])
+    sev, siv = spark.createDataFrame(ev), spark.createDataFrame(iv)
+
+    small = interval_join(sev, siv, ts="ts", start="ws", end="we")
+    assert "BroadcastNestedLoop" in small._jdf.queryExecution().executedPlan().toString()
+
+    big = interval_join(sev, siv, ts="ts", start="ws", end="we",
+                        broadcast_row_limit=10)
+    assert "BroadcastNestedLoop" not in big._jdf.queryExecution().executedPlan().toString()
+
+    forced = interval_join(sev, siv, ts="ts", start="ws", end="we",
+                           bucket_width_seconds=0)
+    a = set(map(tuple, small.select("event_id", "win_id").toPandas().to_numpy()))
+    b = set(map(tuple, big.select("event_id", "win_id").toPandas().to_numpy()))
+    c = set(map(tuple, forced.select("event_id", "win_id").toPandas().to_numpy()))
+    assert a == b == c and len(a) > 0

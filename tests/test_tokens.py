@@ -148,3 +148,19 @@ def test_pack_segments_two_level_handles_null_groups(spark):
     b = pack_segments(sdf, context_len=L, num_buckets=5).orderBy(*key).toPandas()
     pd.testing.assert_frame_equal(a, b, check_like=True)
     assert a.source.isna().any()  # the null group actually exists
+
+
+def test_pack_segments_two_level_handles_numeric_groups(spark):
+    """A non-string `by` column whose keys include falsy values (0) must not
+    crash the two-level driver-side prefix sort (ADVICE r3: the old sort key
+    collapsed 0 to "" and mixed int/str comparison raised TypeError)."""
+    import pyspark.sql.functions as F
+    sdf, _ = _seqs(spark, n=80, seed=41)
+    sdf = sdf.withColumn(
+        "src_num", (F.col("doc_id").substr(2, 3).cast("int") % 3).cast("long"))
+    key = ["src_num", "pack_id", "doc_id"]
+    a = pack_segments(sdf, context_len=L, by="src_num").orderBy(*key).toPandas()
+    b = pack_segments(sdf, context_len=L, by="src_num", num_buckets=5) \
+        .orderBy(*key).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert (a.src_num == 0).any()  # the falsy group actually exists
