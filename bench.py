@@ -57,6 +57,32 @@ def _sf_of(path: str) -> float:
     return float(base.replace("sf", "")) if base.startswith("sf") else -1.0
 
 
+def calibration_probe(reps: int = 3) -> float:
+    """Host-regime marker (VERDICT r3 #5): the fixed cache-resident pure-CPU
+    kernel from BENCH/BASELINE.md (4096×64 int64 hash blocks, single
+    thread). Its wall time is a pure function of the silicon the hypervisor
+    is actually giving us — code changes never move it, host steal does —
+    so per-query times divided by it separate code regressions from host
+    regime swings across rounds. Returns min-of-reps seconds (~0.1–0.3 s)."""
+    import numpy as np
+
+    x = (np.arange(4096 * 64, dtype=np.uint64).reshape(4096, 64)
+         * np.uint64(2654435761))
+    best = float("inf")
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for _ in range(reps):
+        y = x.copy()
+        t0 = time.perf_counter()
+        for _ in range(120):
+            y ^= y >> np.uint64(13)
+            y *= mult
+            y ^= y << np.uint64(7)
+        sink = int(y.sum(dtype=np.uint64))  # defeat dead-code elimination
+        best = min(best, time.perf_counter() - t0)
+    assert sink >= 0
+    return round(best, 4)
+
+
 def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     from ficaria_spark.plans.cache import release_operator_caches
     from ficaria_spark.queries import QUERIES
@@ -75,6 +101,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     # varies ±2× over minutes, so a single shot confounds code changes with
     # noise. value = Σ per-query min (the noise-robust suite time).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    probe_before = calibration_probe()
     per_query: dict[str, float] = {}
     total_rows = 0
     for rep in range(reps):
@@ -91,6 +118,8 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
             # cache pressure (the library's documented cleanup contract)
             release_operator_caches()
     total = sum(per_query.values())
+    probe_after = calibration_probe()
+    probe = min(probe_before, probe_after)
     return {
         "metric": "headline-suite wall time (19 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup, ANN, text; min of interleaved reps)",
         "value": round(total, 3),
@@ -101,6 +130,19 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
         "rows_out": total_rows,
         "rows_per_sec": round(total_rows / total, 1),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        # host-regime marker: the same fixed single-thread CPU kernel timed
+        # before and after the suite (see calibration_probe). Compare
+        # `queries_normalized` (per-query wall ÷ probe) across rounds to
+        # separate code regressions from hypervisor steal: a uniform drift
+        # in raw seconds with flat normalized values is the HOST, not code.
+        "calibration": {
+            "probe_sec_before": probe_before,
+            "probe_sec_after": probe_after,
+            "probe_sec": probe,
+        },
+        "queries_normalized": {n: round(t / probe, 2)
+                               for n, t in per_query.items()},
+        "value_normalized": round(total / probe, 2),
     }
 
 

