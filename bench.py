@@ -49,6 +49,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine",
     "text_stats",
+    # round 4: one representative per remaining operator family, so the
+    # recorded perf history spans every major surface (totals are therefore
+    # not comparable to rounds ≤3; per-query and normalized values are)
+    "rollup_events",
+    "range_join_weeks",
+    "ann_ivf",
+    "cms_token_counts",
+    "dedup_clusters_star",
 ]
 
 
@@ -121,7 +129,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     probe_after = calibration_probe()
     probe = min(probe_before, probe_after)
     return {
-        "metric": "headline-suite wall time (19 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup, ANN, text; min of interleaved reps)",
+        "metric": "headline-suite wall time (24 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup+clusters, ANN (exact+IVF), rollup, range join, CMS, text; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,

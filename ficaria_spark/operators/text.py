@@ -9,6 +9,8 @@ compose with the dedup/similarity operators.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -85,6 +87,44 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        *, kgram: int = 5) -> DataFrame:
+    """Gopher/C4-style intra-document repetition signals, as one projection
+    (no shuffle, no UDF):
+
+    * ``dup_word_frac``  — 1 − |distinct words| / |words|: high for pages
+      that repeat the same tokens (nav boilerplate, keyword stuffing).
+    * ``dup_kgram_frac`` — 1 − |distinct word k-grams| / |word k-grams|
+      (k = ``kgram``, default 5): catches repeated SENTENCES/paragraphs a
+      word-level ratio misses. Docs with < k words score 0.
+
+    Both are pure array expressions over the whitespace tokens — at corpus
+    scale this is a map-only pass that composes with quality_score for
+    repetition-aware filtering.
+
+    The word and k-gram arrays are materialized as intermediate columns
+    before the HOFs that index into them: ``F.slice`` inside a ``transform``
+    lambda re-evaluates an inline array expression once per element
+    (O(words²)/doc), and sibling expressions sharing an inline HOF array get
+    it re-inlined by CollapseProject — both measured pitfalls on this
+    engine (BENCH/BASELINE.md tuning findings)."""
+    base = df.withColumn("__rw", word_tokens(F.col(text_col)))
+    n_words = F.size("__rw")
+    idx = F.sequence(F.lit(1), F.greatest(n_words - F.lit(kgram - 1), F.lit(1)))
+    base = base.withColumn(
+        "__rg",
+        F.filter(F.transform(idx, lambda i: F.slice(F.col("__rw"), i, kgram)),
+                 lambda g: F.size(g) == kgram))
+    n_grams = F.size("__rg")
+    dup_word = F.lit(1.0) - F.size(F.array_distinct("__rw")) / n_words
+    dup_kgram = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct("__rg")) / n_grams).otherwise(0.0)
+    return (base.withColumn("dup_word_frac", dup_word)
+            .withColumn("dup_kgram_frac", dup_kgram)
+            .drop("__rw", "__rg"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-profile language ID. Per candidate language: count stopword
     hits among the document's words; argmax wins ('und' = undetermined when
@@ -103,6 +143,51 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(
         out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     )
+
+
+# PII redaction patterns (ordered: more specific first so e.g. an SSN is not
+# half-eaten by the phone pattern). Public regex shapes only — the standard
+# pre-training scrub set (emails, phone numbers, SSN-shaped ids, IPv4).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(?:\+?\d{1,2}[\s.-]?)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}\b",
+     "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", *,
+               out_col: str | None = None, kinds: Sequence[str] | None = None,
+               with_counts: bool = False) -> DataFrame:
+    """Scrub PII spans from a text column — the standard pre-training
+    redaction pass (emails, SSN-shaped ids, phone numbers, IPv4), as ONE
+    chained ``regexp_replace`` projection: JVM-side, codegen, no shuffle,
+    no UDF — at 100 TB this is a map-only pass like the other text ops.
+
+    ``kinds`` restricts which patterns run (default: all, in
+    :data:`PII_PATTERNS` order — order matters, specific patterns first).
+    ``with_counts=True`` also emits an int ``pii_<kind>_count`` column per
+    kind (audit/metrics) computed BEFORE redaction. Replacement tokens are
+    angle-bracket markers (``<EMAIL>`` …) that survive whitespace
+    tokenization as single words."""
+    out_col = out_col or f"{text_col}_redacted"
+    chosen = list(PII_PATTERNS) if kinds is None else [
+        p for p in PII_PATTERNS if p[0] in set(kinds)]
+    if kinds is not None and len(chosen) != len(set(kinds)):
+        known = {p[0] for p in PII_PATTERNS}
+        raise ValueError(f"unknown PII kind(s): {sorted(set(kinds) - known)}")
+    out = df
+    if with_counts:
+        for kind, pat, _ in chosen:
+            out = out.withColumn(
+                f"pii_{kind}_count",
+                F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
+                           F.lit(0)))
+    col = F.col(text_col)
+    for _, pat, token in chosen:
+        col = F.regexp_replace(col, pat, token)
+    return out.withColumn(out_col, col)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

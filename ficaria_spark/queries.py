@@ -1209,13 +1209,30 @@ feats AS (
                ['the','a','of','and','to','in','is','that'], lower(x))))
            / cast(len(words) AS DOUBLE) AS stopr
   FROM w
+),
+rep AS (
+  SELECT doc_id,
+         1.0 - len(list_distinct(words)) / cast(len(words) AS DOUBLE) AS dup_w,
+         -- grams joined to strings: DuckDB's list_distinct rejects nested
+         -- lists; the join is injective (words never contain whitespace)
+         list_transform(
+           list_filter(list_transform(range(1, greatest(len(words) - 4, 1) + 1),
+                                      i -> words[i:i+4]),
+                       g -> len(g) = 5),
+           g -> array_to_string(g, ' ')) AS grams
+  FROM w
 )
-SELECT doc_id,
+SELECT feats.doc_id,
        n_words,
        len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
        round(mwl, 6) AS mean_word_len,
        round(stopr, 6) AS stopword_ratio,
        round(length(regexp_replace(text, '[^0-9]', '', 'g')) / cast(n_chars AS DOUBLE), 6) AS digit_ratio,
+       round(rep.dup_w, 6) AS dup_word_frac,
+       round(CASE WHEN len(rep.grams) > 0
+                  THEN 1.0 - len(list_distinct(rep.grams))
+                       / cast(len(rep.grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_kgram_frac,
        round((CASE WHEN n_words < 5 THEN 0.0 ELSE 1.0 END)
              * (CASE WHEN mwl > 12.0 THEN 0.5 ELSE 1.0 END)
              * (1.0 - least(punct * 2.0, 1.0) * 0.5)
@@ -1224,18 +1241,20 @@ SELECT doc_id,
        * (CASE WHEN mwl > 12.0 THEN 0.5 ELSE 1.0 END)
        * (1.0 - least(punct * 2.0, 1.0) * 0.5)
        * (0.5 + least(stopr * 4.0, 1.0) * 0.5) >= 0.5 AS quality_keep
-FROM feats
+FROM feats JOIN rep ON feats.doc_id = rep.doc_id
 """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text statistics AND the C4/Gopher-style quality gate in one scan
-    (absorbs the former `quality_filter` registry entry so the driver's
-    50-query window covers every registered query; both are narrow
-    projections over the same quality_features, so the merge is free)."""
-    from ficaria_spark.operators.text import quality_score, token_count
+    """Text statistics, the C4/Gopher-style quality gate, AND the intra-doc
+    repetition signals in one scan (absorbs the former `quality_filter`
+    registry entry so the driver's 50-query window covers every registered
+    query; all are narrow projections over the same token arrays, so the
+    merges are free)."""
+    from ficaria_spark.operators.text import (
+        quality_score, repetition_features, token_count)
 
     docs = datagen.load(spark, sf_dir, "documents")
-    q = quality_score(docs)
+    q = repetition_features(quality_score(docs))
     return q.select(
         "doc_id",
         F.col("n_words"),
@@ -1243,6 +1262,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_word_len"), 6).alias("mean_word_len"),
         F.round(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
         F.round(F.col("digit_ratio"), 6).alias("digit_ratio"),
+        F.round(F.col("dup_word_frac"), 6).alias("dup_word_frac"),
+        F.round(F.col("dup_kgram_frac"), 6).alias("dup_kgram_frac"),
         F.round(F.col("quality_score"), 6).alias("quality_score"),
         "quality_keep",
     )

@@ -560,3 +560,61 @@ def test_shingles_null_text_emits_no_rows_both_hash_families(spark):
         sh = dd.shingles(sdf, shingle_hash=fam).toPandas()
         assert set(sh.id) == {1, 3}, fam
         assert sh.shingle.notna().all(), fam
+
+
+def test_repetition_features_match_python_oracle(spark):
+    """dup_word_frac / dup_kgram_frac equal a direct python computation,
+    including the <k-words edge (scores 0, never a negative gram window)."""
+    texts = [
+        "a b c d e f g h",                      # all distinct
+        "spam spam spam spam spam spam spam",   # one word repeated
+        "x y z x y z x y z x y z",              # repeated 3-cycle
+        "tiny doc",                             # < kgram words
+        "one two three four five one two three four five",  # repeated 5-gram
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (tx.repetition_features(spark.createDataFrame(pdf))
+           .orderBy("doc_id").toPandas())
+    for i, t in enumerate(texts):
+        words = t.split()
+        exp_w = 1.0 - len(set(words)) / len(words)
+        grams = [tuple(words[j:j + 5]) for j in range(len(words) - 4)]
+        exp_g = (1.0 - len(set(grams)) / len(grams)) if grams else 0.0
+        assert abs(got.dup_word_frac[i] - exp_w) < 1e-12, t
+        assert abs(got.dup_kgram_frac[i] - exp_g) < 1e-12, t
+    # the spam doc maxes out, the distinct doc floors
+    assert got.dup_word_frac[1] > 0.8 and got.dup_word_frac[0] == 0.0
+    assert got.dup_kgram_frac[4] > 0.0 and got.dup_kgram_frac[0] == 0.0
+
+
+def test_redact_pii_scrubs_planted_spans(spark):
+    """Planted emails/SSNs/phones/IPs are replaced with marker tokens; clean
+    text passes through untouched; counts audit what was hit; unknown kinds
+    are rejected."""
+    texts = [
+        "contact john.doe+spam@example.co.uk for details",
+        "ssn 123-45-6789 and phone (555) 867-5309 on file",
+        "server at 192.168.10.254 responded",
+        "a perfectly clean sentence with numbers 12345",
+        "dial +1 555-867-5309 or 555.867.5309 now",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = tx.redact_pii(sdf, with_counts=True).orderBy("doc_id").toPandas()
+
+    assert got.text_redacted[0] == "contact <EMAIL> for details"
+    assert "<SSN>" in got.text_redacted[1] and "<PHONE>" in got.text_redacted[1]
+    assert got.text_redacted[2] == "server at <IP> responded"
+    assert got.text_redacted[3] == texts[3]
+    assert got.text_redacted[4].count("<PHONE>") == 2
+    assert got.pii_email_count.tolist() == [1, 0, 0, 0, 0]
+    assert got.pii_ssn_count.tolist() == [0, 1, 0, 0, 0]
+    assert got.pii_ipv4_count.tolist() == [0, 0, 1, 0, 0]
+    assert got.pii_phone_count.sum() >= 3
+
+    only_email = tx.redact_pii(sdf, kinds=["email"]).orderBy("doc_id").toPandas()
+    assert "<EMAIL>" in only_email.text_redacted[0]
+    assert "123-45-6789" in only_email.text_redacted[1]  # ssn untouched
+
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        tx.redact_pii(sdf, kinds=["email", "dna"])
