@@ -647,8 +647,11 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
     """All pairs (id_a < id_b) with cosine(embedding_a, embedding_b) ≥
     threshold — semantic near-duplicates over an embedding column.
 
-    ``exact=True`` — brute-force pair join (broadcast one side): the
-    correctness baseline and the exact-oracle query path.
+    ``exact=True`` — blocked-dgemm all-pairs sweep (operators/pairwise
+    block scheme: each task scores one (block, block) cosine matrix in BLAS
+    and emits only the pairs over threshold): the correctness baseline and
+    the exact-oracle query path. A per-pair JVM cosine fold here would run
+    interpreted — measured 64 s vs ~2 s on a 6k×6k sweep.
     ``exact=False`` — candidates share a random-hyperplane LSH bucket in ANY
     table, exact cosine verified on candidates only: near-linear, the corpus
     scale path (high-cosine pairs collide in some table w.h.p.; recall is
@@ -661,7 +664,34 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
     va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     if exact:
-        pairs = va.join(F.broadcast(vb), F.col("id_a") < F.col("id_b"))
+        import math
+
+        import pandas as pd
+
+        from ficaria_spark.operators.pairwise import block_pair_apply
+
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        nb = int(min(64, max(8, round(math.sqrt(8 * cores)))))
+        thr = float(threshold)
+
+        def near_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            A = np.stack(lpdf["vec"].to_numpy())
+            B = np.stack(rpdf["vec"].to_numpy())
+            A = A / np.sqrt((A * A).sum(axis=1))[:, None]
+            B = B / np.sqrt((B * B).sum(axis=1))[:, None]
+            S = A @ B.T
+            ia = lpdf["id"].to_numpy()
+            ib = rpdf["id"].to_numpy()
+            # id_a < id_b keeps each unordered pair in exactly ONE of the
+            # (x,y)/(y,x) block tasks — no dedup shuffle needed
+            m = (S >= thr) & (ia[:, None] < ib[None, :])
+            r, c = np.nonzero(m)
+            return pd.DataFrame({"id_a": ia[r], "id_b": ib[c],
+                                 "cosine": S[r, c]})
+
+        return block_pair_apply(
+            vecs, "id", ["vec"], near_block,
+            "id_a long, id_b long, cosine double", nb=nb)
     else:
         if dim is None:
             raise ValueError("dim is required for the LSH path (exact=False)")

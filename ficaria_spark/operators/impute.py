@@ -254,6 +254,20 @@ def _rough_kmeans(X: np.ndarray, u: np.ndarray, centers0: np.ndarray, *,
     return lower, upper, centers
 
 
+def _mean_member_dist(block: np.ndarray, members: np.ndarray,
+                      chunk: int = 128) -> np.ndarray:
+    """Per-row mean NaN-masked distance to a member-row matrix, chunked over
+    the BLOCK axis only: masked_dist materializes an (n, |members|, d) diff
+    tensor, and with fit-scale member sets (10⁴–10⁵ rows) an unchunked call
+    allocates gigabyte temps that thrash cache/DRAM. Rows are independent and
+    the member axis stays whole per call, so the result is BIT-IDENTICAL to
+    the unchunked expression (same einsum and mean order per row)."""
+    out = np.empty(len(block))
+    for s in range(0, len(block), chunk):
+        out[s:s + chunk] = fcmk.masked_dist(block[s:s + chunk], members).mean(axis=1)
+    return out
+
+
 class FCMRoughParameterImputer(_ImputerBase):
     """FCM + rough k-means: fill gaps with column means of the better-matching
     (lower vs upper) approximation set of the nearest rough cluster.
@@ -324,8 +338,8 @@ class FCMRoughParameterImputer(_ImputerBase):
                 elif len(upper) == 0:
                     chosen = [lower] * len(rows)
                 else:
-                    dl = fcmk.masked_dist(block, lower).mean(axis=1)
-                    du = fcmk.masked_dist(block, upper).mean(axis=1)
+                    dl = _mean_member_dist(block, lower)
+                    du = _mean_member_dist(block, upper)
                     chosen = [lower if a <= b else upper for a, b in zip(dl, du)]
                 for r, side in zip(rows, chosen):
                     gaps = np.isnan(M[r])

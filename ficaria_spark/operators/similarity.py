@@ -248,6 +248,13 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
     import math
 
     base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    # a thin input (one small parquet file → 1-2 scan partitions) would run
+    # every Arrow kernel single-task; widen to the cluster. At corpus scale
+    # the scan already has ≥ cores partitions and this is a no-op — no
+    # gratuitous shuffle on the 100× path
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < min(target, 16):
+        base = base.repartition(target)
     if n_lists is None:
         n_lists = max(16, int(math.isqrt(df.count())))
     # canonical (id-ordered) sample: the fitted centers are invariant to input
@@ -311,11 +318,49 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     # probes nprobe DISTINCT lists, so (qid, nid) candidate pairs are already
     # unique — a distinct here would be a redundant full shuffle of all
     # candidates (tests/test_pipeline_ops assert output equality)
-    scored = (
-        q.join(n, "probe_list")
-        .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", _cos_expr("qvec", "nvec").alias("cosine"))
-    )
+    #
+    # Scoring is a per-list dgemm, NOT a per-pair JVM fold: with L lists a
+    # query contributes nprobe·(n/L) candidate pairs, and folding a d-dim
+    # cosine per pair runs interpreted (no codegen for HOFs) — measured 17 s
+    # vs 1.5 s for the BLOCKED exact path on 6k vectors. One task per probed
+    # list stacks its queries and members, computes the (nq, nn) cosine
+    # block in BLAS, and emits only each query's block-local top-k; the
+    # global window then ranks ≤ nprobe·k rows per query instead of
+    # nprobe·n/L. Same union+side-tag grouping as operators/pairwise (NEVER
+    # cogroup two branches of one scan — see pairwise._pair_groups).
+    qs = q.select(F.col("qid").alias("rid"), F.col("qvec").alias("vec"),
+                  "probe_list", F.lit(0).alias("__side"))
+    ns = n.select(F.col("nid").alias("rid"), F.col("nvec").alias("vec"),
+                  "probe_list", F.lit(1).alias("__side"))
+
+    def list_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lq = pdf[pdf["__side"] == 0]
+        ln = pdf[pdf["__side"] == 1]
+        if not len(lq) or not len(ln):
+            return pd.DataFrame({"qid": [], "nid": [], "cosine": []})
+        # neighbor block sorted by id so the STABLE argsort below breaks
+        # exact cosine ties by ascending nid — deterministic under any
+        # partitioning, and identical to the window's (cosine desc, nid asc)
+        ln = ln.sort_values("rid", kind="mergesort")
+        Q = np.stack(lq["vec"].to_numpy())
+        N = np.stack(ln["vec"].to_numpy())
+        Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+        N = N / np.sqrt((N * N).sum(axis=1))[:, None]
+        S = Q @ N.T
+        qids = lq["rid"].to_numpy()
+        nids = ln["rid"].to_numpy()
+        S[qids[:, None] == nids[None, :]] = -np.inf  # exclude self
+        kk = min(k, S.shape[1])
+        order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(qids, kk)
+        cols = nids[order.ravel()]
+        vals = np.take_along_axis(S, order, axis=1).ravel()
+        keep = np.isfinite(vals)
+        return pd.DataFrame({"qid": rows[keep], "nid": cols[keep],
+                             "cosine": vals[keep]})
+
+    scored = (qs.unionByName(ns).groupBy("probe_list")
+              .applyInPandas(list_topk, "qid long, nid long, cosine double"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
