@@ -748,20 +748,36 @@ class FCMInterpolationIterativeImputer(_ImputerBase):
 
 def _fuzzy_silhouette(X: np.ndarray, U: np.ndarray, alpha: float) -> float:
     """Fuzzy Silhouette Index over a leaf-local frame (reference:
-    missing_imputation.py:1515–1562). O(n²) confined to one leaf group."""
+    missing_imputation.py:1515–1562). O(n²) confined to one leaf group.
+
+    Vectorized: per-cluster distance sums via axis-1 reductions instead of a
+    per-row Python loop (the loop dominated FCMDT transform wall time on
+    1k+-row leaves). SIMD lane order makes the reduction differ from the
+    rowwise loop by ~1 ulp — allclose(1e-12) to it, same k choices on
+    non-degenerate data (test_fsi_vectorized_matches_loop); the oracle twin
+    (oracle_fit) imports THIS function, so engine==oracle parity is exact by
+    construction either way."""
     n, k = U.shape
     if n < 2:
         return 0.0
     D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
     labels = U.argmax(axis=1)
-    s = np.zeros(n)
-    for i in range(n):
-        same = labels == labels[i]
-        a = D[i, same].sum() / (same.sum() - 1) if same.sum() > 1 else 0.0
-        bs = [D[i, labels == c].mean() for c in range(k) if c != labels[i] and (labels == c).any()]
-        b = min(bs) if bs else a
-        top = max(a, b)
-        s[i] = (b - a) / top if top > 0 else 0.0
+    cnt = np.bincount(labels, minlength=k)
+    csum = np.empty((n, k))
+    for c in range(k):
+        csum[:, c] = D[:, labels == c].sum(axis=1)
+    own = csum[np.arange(n), labels]
+    own_cnt = cnt[labels]
+    a = np.where(own_cnt > 1, own / np.maximum(own_cnt - 1, 1), 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        means = csum / cnt[None, :]
+    means[:, cnt == 0] = np.inf
+    means[np.arange(n), labels] = np.inf
+    b = means.min(axis=1)
+    b = np.where(np.isfinite(b), b, a)  # no other non-empty cluster → b = a
+    top = np.maximum(a, b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(top > 0, (b - a) / top, 0.0)
     srt = np.sort(U, axis=1)
     w = (srt[:, -1] - (srt[:, -2] if k > 1 else 0.0)) ** alpha
     return float((w * s).sum() / w.sum()) if w.sum() > 0 else 0.0

@@ -109,3 +109,44 @@ def test_dt_stable_across_partitionings(spark):
     ra = mk().fit(a).transform(a).orderBy("row_id").toPandas()
     rb = mk().fit(b).transform(b).orderBy("row_id").toPandas()
     assert np.allclose(ra[FEATS].to_numpy(float), rb[FEATS].to_numpy(float))
+
+
+def test_fsi_vectorized_matches_loop():
+    """The vectorized fuzzy-silhouette tracks the per-row reference loop to
+    ~1 ulp (SIMD lane order shifts the reductions) and picks the same k on
+    non-degenerate data. Exact engine==oracle parity does not ride on this:
+    oracle_fit imports the same function, so both sides move together."""
+    import numpy as np
+
+    from ficaria_spark.operators.impute import _fuzzy_silhouette
+
+    def loop_fsi(X, U, alpha):
+        n, k = U.shape
+        if n < 2:
+            return 0.0
+        D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+        labels = U.argmax(axis=1)
+        s = np.zeros(n)
+        for i in range(n):
+            same = labels == labels[i]
+            a = D[i, same].sum() / (same.sum() - 1) if same.sum() > 1 else 0.0
+            bs = [D[i, labels == c].mean() for c in range(k)
+                  if c != labels[i] and (labels == c).any()]
+            b = min(bs) if bs else a
+            top = max(a, b)
+            s[i] = (b - a) / top if top > 0 else 0.0
+        srt = np.sort(U, axis=1)
+        w = (srt[:, -1] - (srt[:, -2] if k > 1 else 0.0)) ** alpha
+        return float((w * s).sum() / w.sum()) if w.sum() > 0 else 0.0
+
+    rng = np.random.default_rng(5)
+    for n, k in ((2, 1), (7, 2), (40, 3), (200, 4), (61, 5)):
+        X = rng.normal(size=(n, 3))
+        U = rng.random((n, k))
+        U /= U.sum(axis=1, keepdims=True)
+        # force an empty cluster sometimes
+        if k >= 3:
+            U[:, -1] = 0.0
+        for alpha in (1.0, 2.0):
+            v, l = _fuzzy_silhouette(X, U, alpha), loop_fsi(X, U, alpha)
+            assert np.isclose(v, l, rtol=1e-12, atol=1e-12), (n, k, alpha, v, l)
