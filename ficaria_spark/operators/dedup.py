@@ -63,7 +63,10 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     equality is preserved (same words → same id; collisions are the usual
     hash-family caveat), shingle columns are 8-byte longs instead of 32-char
     hex strings."""
-    base = df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w"))
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    base = widen_thin_input(
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w")))
     n = F.size("__w")
     if shingle_hash == "md5":
         idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
@@ -232,10 +235,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # materialize the words array ONCE per row: referencing the split()
     # expression inside the shingle lambda would re-evaluate it per shingle
     # (measured O(words²) per doc — 9s for 5k docs)
-    words = df.select(
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    words = widen_thin_input(df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
-    )
+    ))
     n = F.size("__w")
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     # shingle value: native xxhash64 of the joined k-gram — an order of
@@ -586,10 +591,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     else:
         nbits = 64
         hash_expr = lambda w: F.xxhash64(F.lower(w), F.lit(seed))  # noqa: E731
-    base = df.select(
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    base = widen_thin_input(df.select(
         F.col(id_col).alias("id"),
         F.transform(word_tokens(F.col(text_col)), hash_expr).alias("hashes"),
-    )
+    ))
 
     shifts = np.arange(nbits, dtype=np.uint64)
     # words per block: the (chunk × nbits) int32 bit matrix stays ~1 MB —

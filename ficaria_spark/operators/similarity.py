@@ -154,10 +154,13 @@ def lsh_bucketize(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embe
                   seed: int = 7) -> DataFrame:
     """(id, table, bucket) — sign pattern against random hyperplanes, one
     zero-copy mapInArrow pass, hyperplanes broadcast."""
+    from ficaria_spark.plans.layout import widen_thin_input
+
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes)
-    base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    base = widen_thin_input(_as_double(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"))
     pows = np.power(2, np.arange(n_planes), dtype=np.int64)
 
     def run(batches):
@@ -247,14 +250,10 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
     n_lists to skip it."""
     import math
 
-    base = _as_double(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
-    # a thin input (one small parquet file → 1-2 scan partitions) would run
-    # every Arrow kernel single-task; widen to the cluster. At corpus scale
-    # the scan already has ≥ cores partitions and this is a no-op — no
-    # gratuitous shuffle on the 100× path
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < min(target, 16):
-        base = base.repartition(target)
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    base = widen_thin_input(_as_double(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"))
     if n_lists is None:
         n_lists = max(16, int(math.isqrt(df.count())))
     # canonical (id-ordered) sample: the fitted centers are invariant to input
