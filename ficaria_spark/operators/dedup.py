@@ -491,15 +491,39 @@ def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         .distinct()
         .localCheckpoint()
     )
+    def _sig(e: DataFrame):
+        # decimal(38) accumulator: a long hash-sum overflows under ANSI
+        r = e.agg(F.count("*").alias("c"),
+                  F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+                  .alias("h")).first()
+        return int(r["c"]), (int(r["h"]) if r["h"] is not None else 0)
+
+    prev_sig = _sig(edges)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
-        # converged when the edge multiset is stable (star graphs are fixed
-        # points of both contractions)
-        delta = nxt.exceptAll(edges).limit(1).count() + \
-            edges.exceptAll(nxt).limit(1).count()
-        edges = nxt
-        if not delta:
-            break
+        # lazy checkpoint: the per-round convergence probe is the round's
+        # ONE action (count + order-independent hash-sum — a map-side
+        # combined agg, no extra shuffle) and it materializes the
+        # checkpoint. The old probe ran TWO exceptAll anti-joins every
+        # round — at small edge counts those co-partitioning shuffles, not
+        # the contraction itself, dominated the wall. The hash-sum is the
+        # GraphFrames-style practical check; the SOUND multiset-equality
+        # test below still gates termination, it just runs once.
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        sig = _sig(nxt)
+        stable = sig == prev_sig
+        prev_sig = sig
+        if stable:
+            # sound verification at the (rare) metric fixpoint: star graphs
+            # are fixed points of both contractions, so require exact edge
+            # multiset equality before stopping — a hash-sum collision
+            # (≈2⁻⁶⁴/round) just means one more round, never a wrong answer
+            delta = (nxt.exceptAll(edges).limit(1)
+                     .unionAll(edges.exceptAll(nxt).limit(1)).count())
+            edges = nxt
+            if not delta:
+                break
+        else:
+            edges = nxt
     # stars point larger → smaller; a node's parent IS the component min.
     # min-aggregate defensively: if max_iter was exhausted before
     # convergence a node could still carry several parents, and the output
