@@ -704,6 +704,9 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
         cores = df.sparkSession.sparkContext.defaultParallelism
         nb = int(min(64, max(8, round(math.sqrt(8 * cores)))))
         thr = float(threshold)
+        # preserve the caller's id type (the pre-blocked path joined on any
+        # orderable id; hardcoding long would Arrow-cast-fail string ids)
+        id_type = df.schema[id_col].dataType.simpleString()
 
         def near_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
             A = np.stack(lpdf["vec"].to_numpy())
@@ -722,7 +725,7 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
         return block_pair_apply(
             vecs, "id", ["vec"], near_block,
-            "id_a long, id_b long, cosine double", nb=nb)
+            f"id_a {id_type}, id_b {id_type}, cosine double", nb=nb)
     else:
         if dim is None:
             raise ValueError("dim is required for the LSH path (exact=False)")

@@ -105,15 +105,29 @@ def block_pair_sums(
         names = list(out_names)
     else:
         # discover output names by probing the kernel with an empty LOCAL
-        # pandas frame of the right columns — plan construction must never
-        # run a Spark job (the old limit(0).toPandas() probe ran two)
-        import numpy as _np
+        # pandas frame — plan construction must never run a Spark job (the
+        # old limit(0).toPandas() probe ran two). Dtypes mirror what
+        # Arrow->pandas hands the kernel at runtime, so dtype-sensitive
+        # kernels (.dt accessors, integer keys) behave in the probe too
         from pyspark.sql import types as _T
+
+        def _pd_dtype(dt):
+            if isinstance(dt, (_T.TimestampType, _T.TimestampNTZType)):
+                return "datetime64[ns]"
+            if isinstance(dt, _T.DateType):
+                return "datetime64[ns]"
+            if isinstance(dt, (_T.ByteType, _T.ShortType, _T.IntegerType,
+                               _T.LongType)):
+                return "int64"
+            if isinstance(dt, (_T.FloatType, _T.DoubleType)):
+                return "float64"
+            if isinstance(dt, _T.BooleanType):
+                return "bool"
+            return object  # strings, decimals, arrays, structs
 
         sel_fields = {f.name: f.dataType for f in df.select(*sel).schema.fields}
         empty = pd.DataFrame({
-            name: pd.Series(dtype=(
-                _np.float64 if isinstance(dt, _T.NumericType) else object))
+            name: pd.Series(dtype=_pd_dtype(dt))
             for name, dt in sel_fields.items()})
         probe = kernel(empty, empty.copy())
         names = sorted(probe.keys())

@@ -78,7 +78,10 @@ def cosine_topk_blocked(df: DataFrame, *, id_col: str = "vec_id",
     ``nb=None`` sizes the block grid to the cluster: nb(nb+1)/2 pair tasks
     should give ~4 waves of parallelism (measured: 136 small tasks beat 36
     big ones 2× at 16 cores — load balance outweighs the extra shuffle
-    duplication until nb² shuffle copies dominate)."""
+    duplication until nb² shuffle copies dominate).
+
+    Zero-norm embeddings (NaN cosine) are EXCLUDED from the output (isfinite
+    filter); the expression path emits NaN rows that desc-rank first."""
     import math
 
     import numpy as np

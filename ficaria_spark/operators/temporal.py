@@ -281,6 +281,13 @@ def asof_join_cogroup(
             ["__r_by", "__r_on", *[f"__r_{c}" for c in value_cols]]
         ].rename(columns={"__r_by": by, "__r_on": on,
                           **{f"__r_{c}": f"{c}{suffix}" for c in value_cols}})
+        if lpdf[by].dtype != rpdf[by].dtype:
+            # a null entity on ONE side makes Arrow hand that side float64
+            # while the other stays int64, and merge_asof refuses mixed key
+            # dtypes; object keys compare by value (5 == 5.0, NaN matches
+            # NaN via pandas' hashtable) with no precision loss on big ids
+            lpdf = lpdf.assign(**{by: lpdf[by].astype(object)})
+            rpdf = rpdf.assign(**{by: rpdf[by].astype(object)})
         return pd.merge_asof(
             lpdf, rpdf, on=on, by=by,
             allow_exact_matches=not strict, direction="backward",
@@ -451,8 +458,12 @@ def hypertable_rollup(
         raise ValueError(f"unknown rollup level(s) {unknown!r}; "
                          f"supported: {sorted(nests_in)}")
     # source level per coarser level: the coarsest earlier level it nests in
-    # (smallest re-agg input). Resolved up front so impossible chains fail
-    # at plan time with a clear error, before any Spark job.
+    # (smallest re-agg input) — picked by granularity rank, NOT list
+    # position, so an out-of-order chain still re-aggs the cheapest source.
+    # Resolved up front so impossible chains fail at plan time with a clear
+    # error, before any Spark job.
+    rank = {lv: i for i, lv in enumerate(
+        ("minute", "hour", "day", "week", "month", "quarter", "year"))}
     src_of: dict[str, str] = {}
     for i, lv in enumerate(levels[1:], start=1):
         cands = [f for f in levels[:i] if lv in nests_in[f]]
@@ -462,7 +473,7 @@ def hypertable_rollup(
                 f"in {list(levels[:i])!r} (e.g. weeks straddle month "
                 f"boundaries); start the chain at a level it nests in "
                 f"(minute/hour/day) or compute it in a separate call")
-        src_of[lv] = cands[-1]
+        src_of[lv] = max(cands, key=lambda f: rank[f])
     keys = list(keys)
 
     def agg_of(src: DataFrame, level: str, *, from_raw: bool) -> DataFrame:

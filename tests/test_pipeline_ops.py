@@ -618,3 +618,23 @@ def test_redact_pii_scrubs_planted_spans(spark):
 
     with pytest.raises(ValueError, match="unknown PII kind"):
         tx.redact_pii(sdf, kinds=["email", "dna"])
+
+
+def test_embedding_near_pairs_exact_string_ids(spark):
+    """exact=True must preserve the caller's id type (review r4: the block
+    schema hardcoded long and Arrow-cast-failed string ids)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(6):
+        v = base + rng.normal(scale=(0.01 if i < 3 else 5.0), size=8)
+        rows.append((f"doc-{i}", [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    out = dd.embedding_near_pairs(
+        spark.createDataFrame(pdf), threshold=0.95, exact=True).toPandas()
+    assert len(out) >= 3  # the three near-copies pair up
+    assert out.id_a.map(lambda s: s.startswith("doc-")).all()
+    assert (out.id_a < out.id_b).all()

@@ -380,3 +380,57 @@ def test_interval_join_auto_mode_picks_safe_plan(spark):
     b = set(map(tuple, big.select("event_id", "win_id").toPandas().to_numpy()))
     c = set(map(tuple, forced.select("event_id", "win_id").toPandas().to_numpy()))
     assert a == b == c and len(a) > 0
+
+
+def test_asof_cogroup_null_entity_one_side(spark):
+    """A null entity on only ONE side must not crash the bucketed
+    merge_asof (Arrow hands that side float64 keys, the other int64 —
+    review r4): dtypes are coerced to object and non-null entities join
+    exactly as before."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ficaria_spark.operators.temporal import asof_join_cogroup
+
+    t0 = dt.datetime(2024, 5, 1)
+    left = pd.DataFrame({
+        "rid": [0, 1, 2],
+        "entity": pd.array([1, 2, 2], dtype="Int64"),
+        "ts": [t0 + dt.timedelta(minutes=m) for m in (5, 7, 9)],
+    })
+    right = pd.DataFrame({
+        "entity": pd.array([1, 2, None], dtype="Int64"),
+        "ts": [t0, t0 + dt.timedelta(minutes=6), t0 + dt.timedelta(minutes=1)],
+        "v": [10.0, 20.0, 99.0],
+    })
+    out = asof_join_cogroup(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by="entity", value_cols=["v"],
+    ).orderBy("rid").toPandas()
+    assert out.v_asof.tolist() == [10.0, 20.0, 20.0]
+
+
+def test_rollup_source_is_coarsest_by_rank(spark, sf_dir):
+    """An out-of-order level chain must still re-agg each level from the
+    COARSEST aligned finer level by granularity rank, not list position
+    (review r4: ('minute','day','hour','month') must feed month from day,
+    not hour) — and stay exact."""
+    from pyspark.sql import functions as F
+
+    from ficaria_spark import datagen
+    from ficaria_spark.operators.temporal import hypertable_rollup
+
+    ev = datagen.load(spark, sf_dir, "events")
+    got = hypertable_rollup(ev, ts="ts", value_col="value",
+                            levels=("minute", "day", "hour", "month")).toPandas()
+    for lv in ("minute", "day", "hour", "month"):
+        direct = (
+            ev.groupBy(F.unix_micros(F.date_trunc(lv, "ts")).alias("b"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"))
+            .toPandas()
+        )
+        g = got[got.level == lv]
+        assert {r.b: (r.n, r.s) for r in direct.itertuples()} == \
+            {r.bucket_start_us: (r.n_rows, r.sum_value) for r in g.itertuples()}, lv
