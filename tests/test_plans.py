@@ -116,3 +116,64 @@ def test_map_imputer_complete_rows_stay_jvm(spark):
     n_python = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan))
     assert n_python == 1, plan
     assert "Union" in plan
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """North-rule evidence: AQE skew-join splitting (enabled in session.py)
+    actually splits a hot join key at runtime. A 25:1-skewed join is run
+    with skewJoin on and off (thresholds lowered to test scale); with it ON
+    the join stage runs MORE tasks than spark.sql.shuffle.partitions (the
+    hot partition is split into partial-reducer tasks), with it OFF it
+    cannot exceed the shuffle partition count."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    left = spark.range(0, 500_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias("payload"))
+    right = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+
+    tuning = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuning}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def max_stage_tasks(group: str, enabled: bool) -> int:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(enabled).lower())
+        sc.setJobGroup(group, "skew probe")
+        try:
+            left.join(right, "k").count()
+        finally:
+            sc.setJobGroup(None, None)
+        st = sc.statusTracker()
+        tasks = 0
+        for jid in st.getJobIdsForGroup(group):
+            info = st.getJobInfo(jid)
+            for sid in info.stageIds:
+                si = st.getStageInfo(sid)
+                if si:
+                    tasks = max(tasks, si.numTasks)
+        return tasks
+
+    try:
+        for k, v in tuning.items():
+            spark.conf.set(k, v)
+        with_split = max_stage_tasks("skew-on", True)
+        without = max_stage_tasks("skew-off", False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert without <= n_shuffle, (without, n_shuffle)
+    assert with_split > n_shuffle, (
+        f"skew join did not split: {with_split} tasks <= {n_shuffle} partitions")
