@@ -63,3 +63,50 @@ def test_hash_split_total_disjoint_and_seed_stable(spark, ids, seed):
     half = hash_split(spark.createDataFrame(pd.DataFrame({"doc_id": half_ids})),
                       w, seed=seed).toPandas().set_index("doc_id")["split"]
     assert all(full.loc[i] == half.loc[i] for i in half_ids)
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5000),   # start minute
+              st.integers(min_value=-10, max_value=600)),  # duration minutes
+    min_size=1, max_size=25,
+)
+_events = st.lists(st.integers(min_value=0, max_value=6000),
+                   min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events, ivs=_intervals,
+       w=st.sampled_from([60, 300, 3600, 86400]))
+def test_interval_join_paths_agree_on_arbitrary_relations(spark, evs, ivs, w):
+    """For ANY event/interval relation: the bucketed equi-join path (any
+    width), the forced-broadcast path, and the auto path return the same
+    (event, interval) pair set — including empty/negative intervals and
+    boundary timestamps."""
+    import datetime as dt
+
+    from ficaria_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 6, 1)
+    ev = pd.DataFrame({
+        "event_id": range(len(evs)),
+        "ts": [t0 + dt.timedelta(minutes=m) for m in evs],
+    })
+    iv = pd.DataFrame(
+        [(i, t0 + dt.timedelta(minutes=s),
+          t0 + dt.timedelta(minutes=s + d)) for i, (s, d) in enumerate(ivs)],
+        columns=["win_id", "ws", "we"])
+    sev, siv = spark.createDataFrame(ev), spark.createDataFrame(iv)
+
+    def pairs(**kw):
+        out = interval_join(sev, siv, ts="ts", start="ws", end="we", **kw) \
+            .select("event_id", "win_id").toPandas()
+        return set(zip(out.event_id, out.win_id))
+
+    forced = pairs(bucket_width_seconds=0)
+    # python oracle: start inclusive, end exclusive
+    exp = {(e, i) for e, t in zip(ev.event_id, ev.ts)
+           for i, s, x in zip(iv.win_id, iv.ws, iv.we) if s <= t < x}
+    assert forced == exp
+    assert pairs(bucket_width_seconds=w) == exp
+    assert pairs(broadcast_row_limit=0) == exp  # auto → bucketed, median width
