@@ -2,10 +2,14 @@
 typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
-signatures — is real and tested; the codec calls themselves are STUBBED
-(`NotImplementedError` or a deterministic fake) because no image/audio
-libraries exist in this environment. Swap `_decode_image_real` etc. with
-Pillow/torchaudio/PyAV on a real cluster; nothing else changes.
+signatures — is real and tested. Codecs: binary netpbm images (P5/P6) and
+PCM WAV audio decode FOR REAL here (numpy + stdlib ``wave``, no external
+library — see :func:`decode_netpbm` / :func:`decode_wav`, exercised
+end-to-end by ``synthetic_media_table``); compressed formats (JPEG/PNG,
+MP3/AAC, video) still dispatch to a clearly-marked ``NotImplementedError``
+seam — swap in Pillow/torchaudio/PyAV on a real cluster; nothing else
+changes. A deterministic fake codec remains for payload-agnostic plumbing
+tests.
 
 Scale notes: binary payloads dominate I/O — keep them in their own column so
 column pruning skips them unless the stage needs bytes; repartition by size
@@ -38,9 +42,78 @@ AUDIO_META_SCHEMA = T.StructType([
 ])
 
 
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary netpbm payloads — ``P6`` (PPM, RGB) and
+    ``P5`` (PGM, gray) — parsed with numpy alone, no external codec.
+    Returns (height, width, channels) uint8. 8-bit maxval only (the common
+    case; 16-bit raises)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload (want P6/P5 magic)")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with '#' comments allowed between them; pixel data starts after the
+    # single whitespace byte following maxval
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    n = width * height * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return data.reshape(height, width, channels)
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_netpbm` (used by tests and the resize
+    round-trip): uint8 (h, w, 1|3) → P5/P6 bytes."""
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for WAV payloads via the stdlib ``wave`` module —
+    no external codec. Returns ((n_samples, n_channels) float64 in [-1, 1],
+    sample_rate). PCM 8/16/32-bit supported."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sw, nch, rate = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif sw == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    return x.reshape(-1, nch), rate
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Dispatch by magic bytes: netpbm decodes HERE with no external library;
+    compressed formats (JPEG/PNG) still need Pillow/cv2 on a real cluster."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_netpbm(payload)
     raise NotImplementedError(
-        "image codec not available in this environment — plug Pillow/cv2 here")
+        "compressed image codec (JPEG/PNG) not available in this "
+        "environment — netpbm (P5/P6) decodes natively; plug Pillow/cv2 "
+        "here for the rest")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
@@ -148,6 +221,72 @@ def frame_sample(
                 columns=[*base.columns, "frame_index", "frame_digest"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def audio_features(
+    df: DataFrame, *, payload_col: str = "payload",
+) -> DataFrame:
+    """REAL WAV decode (stdlib) → duration, RMS, peak, zero-crossing rate
+    per row. One mapInPandas pass; the binary column never leaves the stage
+    (features only downstream)."""
+    schema = (
+        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields if f.name != payload_col)}, "
+        "duration_s double, rms double, peak double, zcr double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur, rms, peak, zcr = [], [], [], []
+            for payload in pdf[payload_col]:
+                x, rate = decode_wav(bytes(payload))
+                mono = x.mean(axis=1)
+                dur.append(len(mono) / rate)
+                rms.append(float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0)
+                peak.append(float(np.abs(mono).max()) if len(mono) else 0.0)
+                zc = np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                zcr.append(float(zc.mean()) if len(mono) > 1 else 0.0)
+            out = pdf.drop(columns=[payload_col]).copy()
+            out["duration_s"] = dur
+            out["rms"] = rms
+            out["peak"] = peak
+            out["zcr"] = zcr
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def synthetic_media_table(spark, n: int = 32, seed: int = 6) -> DataFrame:
+    """(item_id, kind, payload binary) with REAL decodable payloads —
+    P6 PPM images and PCM-16 WAV clips built in-process — so the real-codec
+    paths are exercised end-to-end without any external library."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image", bytearray(encode_netpbm(img))))
+        else:
+            rate = 8000
+            t = np.arange(int(rng.integers(800, 4000))) / rate
+            tone = (0.5 * np.sin(2 * np.pi * float(rng.integers(100, 800)) * t)
+                    * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(tone.tobytes())
+            rows.append((i, "audio", bytearray(buf.getvalue())))
+    schema = T.StructType([
+        T.StructField("item_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 def synthetic_image_table(spark, n: int = 64, seed: int = 5) -> DataFrame:

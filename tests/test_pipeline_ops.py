@@ -638,3 +638,68 @@ def test_embedding_near_pairs_exact_string_ids(spark):
     assert len(out) >= 3  # the three near-copies pair up
     assert out.id_a.map(lambda s: s.startswith("doc-")).all()
     assert (out.id_a < out.id_b).all()
+
+
+def test_netpbm_roundtrip_and_wav_decode():
+    """REAL codecs, no Spark: P6/P5 encode→decode is byte-exact (incl. a
+    header comment), and a stdlib-built PCM16 WAV decodes to the original
+    samples and rate."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import decode_netpbm, decode_wav, encode_netpbm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert (decode_netpbm(encode_netpbm(img)) == img).all()
+    gray = rng.integers(0, 256, size=(5, 9, 1), dtype=np.uint8)
+    assert (decode_netpbm(encode_netpbm(gray)) == gray).all()
+    # comments between header tokens are legal netpbm
+    commented = b"P5 # a comment\n# another\n9 5 255\n" + gray.tobytes()
+    assert (decode_netpbm(commented) == gray).all()
+
+    rate = 8000
+    tone = (0.25 * np.sin(2 * np.pi * 440 * np.arange(1600) / rate) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(rate)
+        wf.writeframes(tone.tobytes())
+    x, got_rate = decode_wav(buf.getvalue())
+    assert got_rate == rate and x.shape == (1600, 1)
+    assert np.allclose(x[:, 0], tone / 32768.0)
+
+
+def test_real_codec_media_pipeline(spark):
+    """End-to-end REAL decode through the Spark stages: the synthetic media
+    table's PPM payloads flow through image_features(use_fake_codec=False)
+    and its WAV payloads through audio_features — actual pixel/sample math,
+    no fake codec anywhere."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import (
+        audio_features, decode_netpbm, image_features, synthetic_media_table)
+
+    media = synthetic_media_table(spark, n=16)
+    imgs = media.where("kind = 'image'")
+    # meta built from the REAL header so the schema matches image_features
+    img_feats = image_features(
+        imgs.withColumn("meta", F.expr(
+            "named_struct('width', 0, 'height', 0, 'channels', 3, 'format', 'ppm')")),
+        use_fake_codec=False,
+    ).toPandas()
+    assert len(img_feats) == 8
+    assert all(len(m) == 3 for m in img_feats.chan_mean)
+    assert all(0.0 <= v <= 255.0 for m in img_feats.chan_mean for v in m)
+    # cross-check one row against a driver-side decode
+    row = media.where("item_id = 0").collect()[0]
+    img = decode_netpbm(bytes(row.payload))
+    exp_mean = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    got = img_feats[img_feats.item_id == 0].chan_mean.iloc[0]
+    assert np.allclose(np.array(got), exp_mean)
+
+    au = audio_features(media.where("kind = 'audio'")).toPandas()
+    assert len(au) == 8
+    assert (au.duration_s > 0).all() and (au.rms > 0.1).all() and (au.peak <= 1.0).all()
+    assert (au.zcr > 0).all()  # sine tones cross zero
