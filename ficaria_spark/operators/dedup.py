@@ -688,7 +688,7 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
     scale path (high-cosine pairs collide in some table w.h.p.; recall is
     tunable via n_planes/n_tables).
     """
-    from ficaria_spark.operators.similarity import _as_double, _cos_expr, lsh_bucketize
+    from ficaria_spark.operators.similarity import _as_double, lsh_bucketize
 
     vecs = _as_double(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
@@ -742,9 +742,14 @@ def embedding_near_pairs(df: DataFrame, *, id_col: str = "vec_id",
             .distinct()
         )
         pairs = cands.join(va, "id_a").join(vb, "id_b")
+    # exact cosine verify on candidates — vectorized Arrow pair kernel, not
+    # a per-pair interpreted JVM fold (see similarity._pair_cosine_arrow)
+    from ficaria_spark.operators.similarity import _pair_cosine_arrow
+
     return (
-        pairs.select("id_a", "id_b", _cos_expr("vec_a", "vec_b").alias("cosine"))
+        _pair_cosine_arrow(pairs, "vec_a", "vec_b")
         .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
