@@ -202,7 +202,6 @@ def _pair_cosine_arrow(pairs: DataFrame, a_col: str, b_col: str,
     Values differ from the fold by ≲1e-15 (op-order), inside the 6dp
     rounding every consumer applies. Output keeps all non-vector columns."""
     keep = [f.name for f in pairs.schema.fields if f.name not in (a_col, b_col)]
-    dim_known = None
 
     def run(batches):
         import pyarrow as pa
@@ -212,7 +211,7 @@ def _pair_cosine_arrow(pairs: DataFrame, a_col: str, b_col: str,
                 continue
             names = rb.schema.names
             ai, bi = names.index(a_col), names.index(b_col)
-            d = len(rb.column(ai)[0]) if rb.num_rows else (dim_known or 0)
+            d = len(rb.column(ai)[0])  # _vec_matrix validates uniformity
             A = _vec_matrix(rb.column(ai), d)
             B = _vec_matrix(rb.column(bi), d)
             dots = np.einsum("nd,nd->n", A, B)
