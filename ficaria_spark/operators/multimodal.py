@@ -35,6 +35,15 @@ IMAGE_META_SCHEMA = T.StructType([
     T.StructField("format", T.StringType()),
 ])
 
+def _schema_minus(df: DataFrame, drop_col: str, extras: str) -> str:
+    """DDL schema string: ``df``'s fields minus ``drop_col``, plus
+    ``extras`` — the shared shape of every payload-dropping mapInPandas
+    stage here (one place to fix name escaping or the only-column edge)."""
+    kept = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields if f.name != drop_col)
+    return f"{kept}, {extras}" if kept else extras
+
+
 AUDIO_META_SCHEMA = T.StructType([
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("n_samples", T.LongType()),
@@ -78,8 +87,14 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
 
 def encode_netpbm(img: np.ndarray) -> bytes:
     """Inverse of :func:`decode_netpbm` (used by tests and the resize
-    round-trip): uint8 (h, w, 1|3) → P5/P6 bytes."""
+    round-trip): uint8 (h, w, 1|3) or 2-D gray (h, w) → P5/P6 bytes.
+    Any other channel count raises — netpbm has no 2- or 4-channel form,
+    and writing one would round-trip to silently interleaved garbage."""
+    if img.ndim == 2:
+        img = img[:, :, None]
     h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError(f"netpbm supports 1 (P5) or 3 (P6) channels, got {c}")
     magic = b"P6" if c == 3 else b"P5"
     return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
 
@@ -133,10 +148,9 @@ def image_features(
     One mapInPandas pass; output drops the payload (features only), so the
     binary column never shuffles.
     """
-    schema = (
-        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields if f.name != payload_col)}, "
-        "chan_mean array<double>, chan_std array<double>, lum_hist array<double>"
-    )
+    schema = _schema_minus(
+        df, payload_col,
+        "chan_mean array<double>, chan_std array<double>, lum_hist array<double>")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,10 +215,7 @@ def frame_sample(
     """Video frame sampling stub: emits (row × sampled frame_index) with a
     deterministic frame digest — the explode/partition shape of a real
     frame-sampler, without a codec."""
-    out_schema = (
-        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields if f.name != payload_col)}, "
-        "frame_index int, frame_digest string"
-    )
+    out_schema = _schema_minus(df, payload_col, "frame_index int, frame_digest string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -229,15 +240,19 @@ def audio_features(
     """REAL WAV decode (stdlib) → duration, RMS, peak, zero-crossing rate
     per row. One mapInPandas pass; the binary column never leaves the stage
     (features only downstream)."""
-    schema = (
-        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields if f.name != payload_col)}, "
-        "duration_s double, rms double, peak double, zcr double"
-    )
+    schema = _schema_minus(
+        df, payload_col, "duration_s double, rms double, peak double, zcr double")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dur, rms, peak, zcr = [], [], [], []
             for payload in pdf[payload_col]:
+                if payload is None:
+                    # a failed-fetch/corrupt row must not kill the stage:
+                    # features are NaN, row alignment preserved
+                    dur.append(float("nan")); rms.append(float("nan"))
+                    peak.append(float("nan")); zcr.append(float("nan"))
+                    continue
                 x, rate = decode_wav(bytes(payload))
                 mono = x.mean(axis=1)
                 dur.append(len(mono) / rate)

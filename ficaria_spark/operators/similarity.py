@@ -22,14 +22,6 @@ from pyspark.sql import functions as F
 from ficaria_spark.plans.cache import tracked_persist
 
 
-def _cos_expr(a: str, b: str) -> Column:
-    """JVM-side cosine between two array<double> columns (no Python)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
-
-
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.transform(vec_col, lambda x: x.cast("double")))
 
@@ -198,9 +190,18 @@ def _pair_cosine_arrow(pairs: DataFrame, a_col: str, b_col: str,
     """Vectorized per-ROW cosine over two joined vector columns: one
     mapInArrow pass computing the whole batch's dots/norms in NumPy. Use on
     candidate-pair frames (LSH re-rank, near-dup verify) — a per-pair JVM
-    ``_cos_expr`` fold runs interpreted, ~10-50× slower on bulk pair sets.
-    Values differ from the fold by ≲1e-15 (op-order), inside the 6dp
-    rounding every consumer applies. Output keeps all non-vector columns."""
+    aggregate/zip_with fold runs interpreted, ~10-50× slower on bulk pair
+    sets (that fold shape lives on only as the documented twin of the
+    oracles' DuckDB ``list_reduce`` cosine). Values differ from a fold by
+    ≲1e-15 (op-order), inside the 6dp rounding every consumer applies.
+
+    Rows where either vector has ZERO NORM are EXCLUDED (0/0 cosine) —
+    consistent with :func:`cosine_topk_blocked`; Spark treats NaN as
+    greater than every double, so a leaked NaN would pass ``>= threshold``
+    filters and desc-rank FIRST, silently corrupting near-dup sets and
+    top-k rankings (the pre-kernel JVM fold instead threw DIVIDE_BY_ZERO
+    under ANSI — loud, but also wrong for pipelines). Null vectors raise
+    with a clear message. Output keeps all non-vector columns."""
     keep = [f.name for f in pairs.schema.fields if f.name not in (a_col, b_col)]
 
     def run(batches):
@@ -211,15 +212,24 @@ def _pair_cosine_arrow(pairs: DataFrame, a_col: str, b_col: str,
                 continue
             names = rb.schema.names
             ai, bi = names.index(a_col), names.index(b_col)
-            d = len(rb.column(ai)[0])  # _vec_matrix validates uniformity
-            A = _vec_matrix(rb.column(ai), d)
-            B = _vec_matrix(rb.column(bi), d)
+            ca, cb = rb.column(ai), rb.column(bi)
+            if ca.null_count or cb.null_count:
+                raise ValueError(
+                    "pair-cosine input contains null vector(s); drop or "
+                    "impute them before similarity ops")
+            d = len(ca[0])  # all-non-null checked; _vec_matrix validates dims
+            A = _vec_matrix(ca, d)
+            B = _vec_matrix(cb, d)
             dots = np.einsum("nd,nd->n", A, B)
-            cos = dots / (np.sqrt((A * A).sum(axis=1))
-                          * np.sqrt((B * B).sum(axis=1)))
-            cols = [rb.column(names.index(c)) for c in keep]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / (np.sqrt((A * A).sum(axis=1))
+                              * np.sqrt((B * B).sum(axis=1)))
+            fin = np.isfinite(cos)
+            idx = pa.array(np.flatnonzero(fin))
+            cols = [rb.column(names.index(c)).take(idx) for c in keep]
             yield pa.RecordBatch.from_arrays(
-                cols + [pa.array(cos, type=pa.float64())], keep + [out_col])
+                cols + [pa.array(cos[fin], type=pa.float64())],
+                keep + [out_col])
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"

@@ -565,7 +565,8 @@ _COS_SQL = (
 
 def ivf_oracle_sql(centers: np.ndarray, *, nprobe: int = 2, k: int = 3) -> str:
     """ivf_ann_topk twin: literal coarse centers, stable-argsort probe lists,
-    exact cosine re-rank within probed lists (same fold shape as _cos_expr)."""
+    exact cosine re-rank within probed lists (list_reduce fold — the
+    dot/(|a||b|) shape the engine's dgemm kernels reproduce to ≲1e-15)."""
     cent_rows = ",\n    ".join(
         f"({j}, CAST({_vec_lit(centers[j])} AS DOUBLE[]))" for j in range(len(centers)))
     cos = _COS_SQL.format(a="q.vec", b="n.vec")

@@ -703,3 +703,62 @@ def test_real_codec_media_pipeline(spark):
     assert len(au) == 8
     assert (au.duration_s > 0).all() and (au.rms > 0.1).all() and (au.peak <= 1.0).all()
     assert (au.zcr > 0).all()  # sine tones cross zero
+
+
+def test_zero_norm_vectors_excluded_consistently(spark):
+    """Review r4 #2: a zero-norm embedding must NOT surface as a NaN-cosine
+    near-duplicate or a rank-1 ANN neighbor (Spark sorts NaN above every
+    double). Both embedding_near_pairs paths and lsh_ann_topk exclude it."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=16)
+    rows = [(0, list(base)), (1, list(base + 0.001)), (2, [0.0] * 16),
+            (3, list(rng.normal(size=16)))]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    sdf = spark.createDataFrame(pdf)
+
+    ex = dd.embedding_near_pairs(sdf, threshold=0.9, exact=True).toPandas()
+    ls = dd.embedding_near_pairs(sdf, threshold=0.9, exact=False, dim=16,
+                                 n_planes=4, n_tables=6).toPandas()
+    for out in (ex, ls):
+        assert 2 not in set(out.id_a) | set(out.id_b)
+        assert not out.cosine.isna().any()
+    assert (0, 1) in set(zip(ex.id_a, ex.id_b))
+
+    topk = sim.lsh_ann_topk(sdf, dim=16, k=2, n_planes=2, n_tables=4).toPandas()
+    assert not topk.cosine.isna().any()
+    assert 2 not in set(topk.neighbor_id)
+
+
+def test_audio_features_null_payload_row(spark):
+    """Review r4 #3: a NULL payload row yields NaN features instead of
+    killing the stage; other rows are unaffected."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import audio_features, synthetic_media_table
+
+    media = synthetic_media_table(spark, n=4).where("kind = 'audio'")
+    with_null = media.unionByName(
+        media.limit(1).selectExpr("item_id + 100 as item_id", "kind",
+                                  "cast(null as binary) as payload"))
+    out = audio_features(with_null).orderBy("item_id").toPandas()
+    assert len(out) == 3
+    assert np.isnan(out[out.item_id >= 100].rms.iloc[0])
+    assert (out[out.item_id < 100].rms > 0).all()
+
+
+def test_encode_netpbm_rejects_bad_channels():
+    """Review r4 #4: 2-D gray arrays are accepted (promoted to (h,w,1));
+    2- or 4-channel arrays raise instead of round-tripping to garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.multimodal import decode_netpbm, encode_netpbm
+
+    gray2d = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert (decode_netpbm(encode_netpbm(gray2d))[:, :, 0] == gray2d).all()
+    for c in (2, 4):
+        with _pytest.raises(ValueError, match="channels"):
+            encode_netpbm(np.zeros((3, 4, c), dtype=np.uint8))
