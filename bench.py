@@ -8,9 +8,10 @@ result without driver-side collect). A warmup pass on sf0.001 JIT-warms the
 JVM and Python workers before timing.
 
 Scaling-efficiency mode:  bench.py --scaling  runs the same workload on the
-same input with 1 vs 4 REAL executor JVMs (local-cluster[N,4,6144]), pinned
-via taskset, 2 interleaved reps (min-wall), and reports throughput at both
-plus efficiency = thr_4N / (4 * thr_N). See BENCH/BASELINE.md.
+same input at 1 vs 4 executors (default: pinned single-JVM local[N] with
+1-core executors; SPARK_GRAFT_SCALING_MODE=local-cluster for N REAL
+executor JVMs), 2 interleaved reps (min-wall), and reports throughput at
+both plus efficiency = thr_4N / (4 * thr_N). See BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

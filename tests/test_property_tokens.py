@@ -110,3 +110,30 @@ def test_interval_join_paths_agree_on_arbitrary_relations(spark, evs, ivs, w):
     assert forced == exp
     assert pairs(bucket_width_seconds=w) == exp
     assert pairs(broadcast_row_limit=0) == exp  # auto → bucketed, median width
+
+
+_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_texts)
+def test_repetition_features_property(spark, texts):
+    """dup_word_frac / dup_kgram_frac equal the python definition for ANY
+    whitespace-tokenizable text, including empty/whitespace-only strings
+    (both score 0 via the single-empty-token path, never crash)."""
+    from ficaria_spark.operators.text import repetition_features
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (repetition_features(spark.createDataFrame(pdf))
+           .orderBy("doc_id").toPandas())
+    for i, t in enumerate(texts):
+        words = t.strip().split() or [""]  # Spark split(trim(''),\s+) -> ['']
+        exp_w = 1.0 - len(set(words)) / len(words)
+        grams = [tuple(words[j:j + 5]) for j in range(len(words) - 4)]
+        exp_g = (1.0 - len(set(grams)) / len(grams)) if grams else 0.0
+        assert abs(got.dup_word_frac[i] - exp_w) < 1e-12, repr(t)
+        assert abs(got.dup_kgram_frac[i] - exp_g) < 1e-12, repr(t)
