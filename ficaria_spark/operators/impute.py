@@ -463,7 +463,18 @@ class FCMKIterativeImputer(_ImputerBase):
     tracked_persist()-ed, counted per cluster (k rows to the driver), and
     reused by the main pass — the per-row FCM tagging never computes twice.
     Call ``plans.cache.release_operator_caches()`` after the consuming
-    action, per the library-wide cache contract.
+    action, per the library-wide cache contract. The sizing job is SKIPPED
+    (exact semantics, zero extra jobs, no persist) when it is provably
+    unnecessary: auto mode, ``transform()`` called on the same DataFrame
+    object that was fitted, and the fit collect came back under ``fit_cap``
+    (so the frame's exact total row count is known) with that total ≤
+    ``AUTO_BUCKET_ROWS`` — the reference's own fit_transform flow.
+
+    MIGRATION NOTE (vs the reference's ``FCMKIterativeImputer``): the
+    DEFAULT ``bucket_size=None`` deviates from reference semantics only for
+    clusters over ``AUTO_BUCKET_ROWS`` rows (split with a ``UserWarning``);
+    pass ``bucket_size=0`` for bit-exact reference behavior at k-task
+    parallelism.
     """
 
     #: auto-mode bucket rows: clusters larger than this deviate (split);
@@ -503,6 +514,13 @@ class FCMKIterativeImputer(_ImputerBase):
         self.X_train_ = Xtr
         self.means_ = np.nanmean(Xtr, axis=0)
         filled = np.where(np.isnan(Xtr), self.means_[None, :], Xtr)
+        # sizing-skip proof state (ADVICE r4): if the fit collect came back
+        # UNDER fit_cap, it saw the ENTIRE frame, so the frame's total row
+        # count is known exactly; transform() on the very same DataFrame
+        # object can then skip the bucket-sizing job when that total already
+        # fits in one bucket
+        self._fit_df_ = df
+        self._fit_exact_n_ = len(Xtr) if len(Xtr) < self.fit_cap else None
         k = self.n_clusters
         if k is None:
             k = fcmk.find_optimal_clusters(
@@ -523,6 +541,7 @@ class FCMKIterativeImputer(_ImputerBase):
     def transform(self, df: DataFrame) -> DataFrame:
         self._check_transform_cols(df)
         cols = self.feature_names_in_
+        same_as_fit = df is getattr(self, "_fit_df_", None)
         df = self._cast_features(df)
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast({
@@ -533,7 +552,7 @@ class FCMKIterativeImputer(_ImputerBase):
             "vmin": self.min_value_, "vmax": self.max_value_,
         })
 
-        tagged, group_keys = self._tag_and_bucket(df, bc)
+        tagged, group_keys = self._tag_and_bucket(df, bc, same_as_fit=same_as_fit)
         tagged_schema = tagged.schema
 
         # ②③ one shuffle on (cluster[, bucket]); sequential KI kernel per group.
@@ -567,7 +586,8 @@ class FCMKIterativeImputer(_ImputerBase):
         imputed = tagged.groupBy(*group_keys).applyInPandas(ki, tagged_schema)
         return imputed.drop(*group_keys)
 
-    def _tag_and_bucket(self, df: DataFrame, bc) -> tuple[DataFrame, list[str]]:
+    def _tag_and_bucket(self, df: DataFrame, bc, *,
+                        same_as_fit: bool = False) -> tuple[DataFrame, list[str]]:
         """① tag rows with their argmax-membership cluster (map-only,
         Arrow-vectorized); in bucketing modes, also assign deterministic
         intra-cluster hash buckets (one sizing job over the persisted tagged
@@ -593,6 +613,18 @@ class FCMKIterativeImputer(_ImputerBase):
             df.schema.fields + [T.StructField("__cluster", T.IntegerType())])
         tagged = df.mapInPandas(tag, tagged_schema)
         if self.bucket_size == 0:  # exact-reference mode: no sizing job
+            return tagged, ["__cluster"]
+        if (self.bucket_size is None and same_as_fit
+                and getattr(self, "_fit_exact_n_", None) is not None
+                and self._fit_exact_n_ <= self.AUTO_BUCKET_ROWS):
+            # SOUND sizing-skip (ADVICE r4): the fit collect returned fewer
+            # than fit_cap rows, so it saw the whole frame and its total row
+            # count is exact; transform() was handed the SAME DataFrame
+            # object, and the total already fits in one bucket → no cluster
+            # can be oversized. Exact reference semantics, zero sizing jobs,
+            # no persist. (Fit-time CLUSTER sizes alone would not be a proof
+            # — the transform frame can be arbitrarily larger than the
+            # capped fit sample.)
             return tagged, ["__cluster"]
         bucket_rows = self.bucket_size or self.AUTO_BUCKET_ROWS
         # persist BEFORE the sizing count so the per-row FCM tagging runs

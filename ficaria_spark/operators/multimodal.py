@@ -153,9 +153,17 @@ def image_features(
         "chan_mean array<double>, chan_std array<double>, lum_hist array<double>")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nan3 = [float("nan")] * 3
         for pdf in batches:
             means, stds, hists = [], [], []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
+                if payload is None:
+                    # corrupt/failed-fetch row must not kill the stage
+                    # (same policy as audio_features): NaN features,
+                    # row alignment preserved
+                    means.append(nan3); stds.append(nan3)
+                    hists.append([float("nan")] * 8)
+                    continue
                 if use_fake_codec:
                     img = _decode_image_fake(
                         payload, meta["width"], meta["height"], meta["channels"])
@@ -189,6 +197,11 @@ def resize_images(
         for pdf in batches:
             payloads, metas = [], []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
+                if payload is None:
+                    # null in, null out — a corrupt row survives the stage
+                    payloads.append(None)
+                    metas.append(meta)
+                    continue
                 if use_fake_codec:
                     img = _decode_image_fake(
                         payload, meta["width"], meta["height"], meta["channels"])

@@ -106,16 +106,23 @@ def block_pair_sums(
     else:
         # discover output names by probing the kernel with an empty LOCAL
         # pandas frame — plan construction must never run a Spark job (the
-        # old limit(0).toPandas() probe ran two). Dtypes mirror what
-        # Arrow->pandas hands the kernel at runtime, so dtype-sensitive
-        # kernels (.dt accessors, integer keys) behave in the probe too
+        # old limit(0).toPandas() probe ran two). Dtypes approximate what
+        # Arrow->pandas hands the kernel at runtime so the common
+        # dtype-sensitive kernels (.dt accessors, integer keys) behave in
+        # the probe too — but the mirror is best-effort, NOT exact: integer
+        # columns probe int64 yet arrive float64 when the batch contains
+        # nulls (Arrow null promotion). A kernel that branches on those
+        # dtypes should pass ``out_names`` explicitly instead of relying on
+        # the probe.
         from pyspark.sql import types as _T
 
         def _pd_dtype(dt):
             if isinstance(dt, (_T.TimestampType, _T.TimestampNTZType)):
                 return "datetime64[ns]"
             if isinstance(dt, _T.DateType):
-                return "datetime64[ns]"
+                # Arrow->pandas yields object(datetime.date) at runtime,
+                # not datetime64[ns]
+                return object
             if isinstance(dt, (_T.ByteType, _T.ShortType, _T.IntegerType,
                                _T.LongType)):
                 return "int64"

@@ -281,17 +281,44 @@ def asof_join_cogroup(
             ["__r_by", "__r_on", *[f"__r_{c}" for c in value_cols]]
         ].rename(columns={"__r_by": by, "__r_on": on,
                           **{f"__r_{c}": f"{c}{suffix}" for c in value_cols}})
-        if lpdf[by].dtype != rpdf[by].dtype:
+        l_null = lpdf[by].isna()
+        if (lpdf[by].dtype != rpdf[by].dtype
+                or l_null.any() or rpdf[by].isna().any()):
             # a null entity on ONE side makes Arrow hand that side float64
             # while the other stays int64, and merge_asof refuses mixed key
-            # dtypes; object keys compare by value (5 == 5.0, NaN matches
-            # NaN via pandas' hashtable) with no precision loss on big ids
+            # dtypes; when BOTH sides carry nulls the dtypes agree (float64)
+            # but whether a NaN left key matches a NaN right key would then
+            # ride on pandas' float-factorization internals
+            # (version-dependent) — so whenever any null is present: coerce
+            # to object (value comparison, 5 == 5.0, no precision loss on
+            # big ids) and DROP null-key right rows, pinning SQL null-join
+            # semantics (a null key matches nothing; null-key left rows stay
+            # in the output with null as-of values)
             lpdf = lpdf.assign(**{by: lpdf[by].astype(object)})
+            rpdf = rpdf[rpdf[by].notna()]
             rpdf = rpdf.assign(**{by: rpdf[by].astype(object)})
-        return pd.merge_asof(
+            if l_null.any():
+                # None == None would still match in pandas' hashtable; give
+                # each null LEFT key a unique unmatchable sentinel instead
+                key = lpdf[by].copy()
+                sentinels = pd.Series(
+                    [("__null__", i) for i in range(int(l_null.sum()))],
+                    dtype=object, index=key.index[l_null.values])
+                key[l_null.values] = sentinels
+                lpdf = lpdf.assign(**{by: key})
+            if not len(rpdf):
+                out = lpdf.assign(**{c: np.nan for c in out_cols})
+                out[by] = out[by].mask(l_null.values, np.nan)
+                return out[out_names]
+        out = pd.merge_asof(
             lpdf, rpdf, on=on, by=by,
             allow_exact_matches=not strict, direction="backward",
-        )[out_names]
+        )
+        if l_null.any():
+            # restore the null keys the sentinels stood in for
+            out[by] = out[by].mask(
+                out[by].map(lambda v: isinstance(v, tuple)), np.nan)
+        return out[out_names]
 
     return (
         l_sel.groupBy("__bkt")
@@ -378,14 +405,19 @@ def interval_join(
     ``bucket_width_seconds`` modes:
 
     - ``None`` (default) — AUTO: one cheap sizing job on the interval side
-      (count + median interval length). At or under ``broadcast_row_limit``
-      rows the broadcast NLJ wins (no shuffle, no replication); above it the
-      bucketed equi-join engages with ``W`` = the median interval length
-      (clamped to ≥ 1 s) — a large interval side can never OOM the broadcast
-      by default (VERDICT r3 #4).
+      (count + median interval length), run EAGERLY at plan-construction
+      time — a deliberate, documented exception to the repo's
+      plan-construction-runs-no-jobs rule (the broadcast/bucketed decision
+      changes the JOIN OPERATOR, which must be fixed before the plan
+      exists; test-pinned in test_temporal). At or under
+      ``broadcast_row_limit`` rows the broadcast NLJ wins (no shuffle, no
+      replication); above it the bucketed equi-join engages with ``W`` =
+      the median interval length (clamped to ≥ 1 s) — a large interval side
+      can never OOM the broadcast by default (VERDICT r3 #4).
     - ``0`` — force the broadcast NLJ (caller asserts the side is small;
-      zero sizing jobs).
-    - ``W > 0`` — explicit bucket width, bucketed path, zero sizing jobs.
+      zero sizing jobs, plan construction stays job-free).
+    - ``W > 0`` — explicit bucket width, bucketed path, zero sizing jobs,
+      plan construction stays job-free.
     """
     e_us = F.unix_micros(F.col(ts))
     s_us = F.unix_micros(F.col(start))

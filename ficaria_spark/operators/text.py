@@ -27,11 +27,16 @@ _STOPWORDS = {
 
 
 def token_count(text: str | Column, *, mode: str = "whitespace") -> Column:
-    """Token count: 'whitespace' (fast split) or 'bpe' (regex pre-tokenizer)."""
+    """Token count: 'whitespace' (fast split) or 'bpe' (regex pre-tokenizer).
+
+    Empty / whitespace-only text counts 0 tokens: ``split`` emits empty-string
+    edge tokens (``split(trim(''), '\\s+')`` is ``[""]``, and ``trim`` strips
+    SPACES only — a tab/newline-only doc still yields empties), so empties are
+    filtered out of the count."""
     col = F.col(text) if isinstance(text, str) else text
     if mode == "whitespace":
-        # split on runs of whitespace; trim first so no empty edge tokens
-        return F.size(F.split(F.trim(col), r"\s+"))
+        return F.size(F.filter(F.split(F.trim(col), r"\s+"),
+                               lambda w: w != F.lit("")))
     return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_REGEX), 0))
 
 
@@ -43,30 +48,42 @@ def word_tokens(text: str | Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach quality-scoring features: n_chars, n_words, mean word length,
     punctuation ratio, stopword ratio, uppercase ratio, digit ratio.
-    One projection — no shuffle."""
+    One projection — no shuffle.
+
+    Degenerate docs are first-class: an empty / whitespace-only document has
+    ``n_words = 0`` and every ratio ``0.0``. All divisors are guarded with
+    ``greatest(_, 1)`` — Spark 4 runs ANSI mode by default, where a plain
+    ``x / 0`` THROWS and one empty doc in a 100-TB corpus would kill the
+    stage."""
     t = F.col(text_col)
     words = word_tokens(t)
     n_chars = F.length(t)
-    n_words = F.size(words)
+    # split emits empty edge tokens on degenerate docs ([""] for empty text;
+    # trim strips SPACES only, so tab/newline-only docs also yield empties) —
+    # count only non-empty words
+    n_words = F.size(F.filter(words, lambda w: w != F.lit("")))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_words = F.greatest(n_words, F.lit(1))
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
     return (
         df.withColumn("n_chars_q", n_chars)
         .withColumn("n_words", n_words)
         .withColumn(
-            "mean_word_len",
-            (n_chars - (n_words - F.lit(1))) / n_words,  # chars net of separators
+            "mean_word_len",  # chars net of separators; 0.0 for empty docs
+            F.when(n_words == 0, F.lit(0.0))
+            .otherwise((n_chars - (n_words - F.lit(1))) / safe_words),
         )
         .withColumn(
             "punct_ratio",
-            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")) / n_chars,
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")) / safe_chars,
         )
-        .withColumn("stopword_ratio", n_stop / n_words)
+        .withColumn("stopword_ratio", n_stop / safe_words)
         .withColumn(
-            "upper_ratio", F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars
+            "upper_ratio", F.length(F.regexp_replace(t, r"[^A-Z]", "")) / safe_chars
         )
         .withColumn(
-            "digit_ratio", F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars
+            "digit_ratio", F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe_chars
         )
     )
 
@@ -107,8 +124,13 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     lambda re-evaluates an inline array expression once per element
     (O(words²)/doc), and sibling expressions sharing an inline HOF array get
     it re-inlined by CollapseProject — both measured pitfalls on this
-    engine (BENCH/BASELINE.md tuning findings)."""
-    base = df.withColumn("__rw", word_tokens(F.col(text_col)))
+    engine (BENCH/BASELINE.md tuning findings).
+
+    Degenerate (empty / whitespace-only) docs score 0 on both signals: empty
+    edge tokens from ``split`` are filtered out before counting, and the
+    zero-word division is guarded (ANSI mode throws on ``/ 0``)."""
+    base = df.withColumn(
+        "__rw", F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit("")))
     n_words = F.size("__rw")
     idx = F.sequence(F.lit(1), F.greatest(n_words - F.lit(kgram - 1), F.lit(1)))
     base = base.withColumn(
@@ -116,7 +138,9 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         F.filter(F.transform(idx, lambda i: F.slice(F.col("__rw"), i, kgram)),
                  lambda g: F.size(g) == kgram))
     n_grams = F.size("__rg")
-    dup_word = F.lit(1.0) - F.size(F.array_distinct("__rw")) / n_words
+    dup_word = F.when(
+        n_words > 0,
+        F.lit(1.0) - F.size(F.array_distinct("__rw")) / n_words).otherwise(0.0)
     dup_kgram = F.when(
         n_grams > 0,
         F.lit(1.0) - F.size(F.array_distinct("__rg")) / n_grams).otherwise(0.0)

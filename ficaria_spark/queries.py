@@ -520,18 +520,21 @@ flagged AS (
 qw AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\\s+') AS qwords,
-         length(text) AS n_chars
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x != '')) AS n_words
   FROM train
 ),
 qf AS (
-  SELECT doc_id,
-         len(qwords) AS n_words,
-         (n_chars - (len(qwords) - 1)) / cast(len(qwords) AS DOUBLE) AS mwl,
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE (n_chars - (n_words - 1)) / cast(greatest(n_words, 1) AS DOUBLE)
+         END AS mwl,
          length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
-           / cast(n_chars AS DOUBLE) AS punct,
+           / cast(greatest(n_chars, 1) AS DOUBLE) AS punct,
          len(list_filter(qwords, x -> list_contains(
                ['the','a','of','and','to','in','is','that'], lower(x))))
-           / cast(len(qwords) AS DOUBLE) AS stopr
+           / cast(greatest(n_words, 1) AS DOUBLE) AS stopr
   FROM qw
 ),
 qkeep AS (
@@ -1190,44 +1193,73 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _pii_redact_sql(col: str) -> str:
+    """DuckDB redaction chain generated from the SAME ``PII_PATTERNS`` table
+    the Spark operator uses — one source of truth for both engines. The
+    patterns are RE2/Java-portable by construction (tests pin dialect
+    equivalence on a planted-span corpus)."""
+    from ficaria_spark.operators.text import PII_PATTERNS
+
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+def _pii_count_sql(col: str) -> str:
+    from ficaria_spark.operators.text import PII_PATTERNS
+
+    return ",\n       ".join(
+        f"len(regexp_extract_all({col}, '{pat}')) AS pii_{kind}_count"
+        for kind, pat, _ in PII_PATTERNS)
+
+
 @register(
     "text_stats",
-    oracle=r"""
+    oracle=rf"""
 WITH w AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\s+') AS words,
-         length(text) AS n_chars
+         length(text) AS n_chars,
+         -- count only non-empty words: split emits empty edge tokens on
+         -- degenerate docs (and trim strips SPACES only, so tab/newline-only
+         -- docs still yield empties) — mirrors the Spark expression exactly
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x != '')) AS n_words
   FROM documents
 ),
 feats AS (
-  SELECT doc_id, text, n_chars,
-         len(words) AS n_words,
-         (n_chars - (len(words) - 1)) / cast(len(words) AS DOUBLE) AS mwl,
+  SELECT doc_id, text, n_chars, n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE (n_chars - (n_words - 1)) / cast(greatest(n_words, 1) AS DOUBLE)
+         END AS mwl,
          length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
-           / cast(n_chars AS DOUBLE) AS punct,
+           / cast(greatest(n_chars, 1) AS DOUBLE) AS punct,
          len(list_filter(words, x -> list_contains(
                ['the','a','of','and','to','in','is','that'], lower(x))))
-           / cast(len(words) AS DOUBLE) AS stopr
+           / cast(greatest(n_words, 1) AS DOUBLE) AS stopr
   FROM w
 ),
 rep AS (
   SELECT doc_id,
-         1.0 - len(list_distinct(words)) / cast(len(words) AS DOUBLE) AS dup_w,
+         CASE WHEN len(wf) > 0
+              THEN 1.0 - len(list_distinct(wf)) / cast(len(wf) AS DOUBLE)
+              ELSE 0.0 END AS dup_w,
          -- grams joined to strings: DuckDB's list_distinct rejects nested
          -- lists; the join is injective (words never contain whitespace)
          list_transform(
-           list_filter(list_transform(range(1, greatest(len(words) - 4, 1) + 1),
-                                      i -> words[i:i+4]),
+           list_filter(list_transform(range(1, greatest(len(wf) - 4, 1) + 1),
+                                      i -> wf[i:i+4]),
                        g -> len(g) = 5),
            g -> array_to_string(g, ' ')) AS grams
-  FROM w
+  FROM (SELECT doc_id, list_filter(words, x -> x != '') AS wf FROM w)
 )
 SELECT feats.doc_id,
        n_words,
        len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
        round(mwl, 6) AS mean_word_len,
        round(stopr, 6) AS stopword_ratio,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g')) / cast(n_chars AS DOUBLE), 6) AS digit_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) / cast(greatest(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
        round(rep.dup_w, 6) AS dup_word_frac,
        round(CASE WHEN len(rep.grams) > 0
                   THEN 1.0 - len(list_distinct(rep.grams))
@@ -1240,21 +1272,24 @@ SELECT feats.doc_id,
        (CASE WHEN n_words < 5 THEN 0.0 ELSE 1.0 END)
        * (CASE WHEN mwl > 12.0 THEN 0.5 ELSE 1.0 END)
        * (1.0 - least(punct * 2.0, 1.0) * 0.5)
-       * (0.5 + least(stopr * 4.0, 1.0) * 0.5) >= 0.5 AS quality_keep
+       * (0.5 + least(stopr * 4.0, 1.0) * 0.5) >= 0.5 AS quality_keep,
+       {_pii_count_sql("text")},
+       length({_pii_redact_sql("text")}) AS redacted_len
 FROM feats JOIN rep ON feats.doc_id = rep.doc_id
 """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text statistics, the C4/Gopher-style quality gate, AND the intra-doc
-    repetition signals in one scan (absorbs the former `quality_filter`
-    registry entry so the driver's 50-query window covers every registered
-    query; all are narrow projections over the same token arrays, so the
-    merges are free)."""
+    """Text statistics, the C4/Gopher-style quality gate, the intra-doc
+    repetition signals, AND the PII-redaction audit (per-kind span counts +
+    post-redaction length) in one scan (absorbs the former `quality_filter`
+    and gives `redact_pii` its driver-gate row without spending a registry
+    slot; all are narrow projections over the same scan, so the merges are
+    free)."""
     from ficaria_spark.operators.text import (
-        quality_score, repetition_features, token_count)
+        quality_score, redact_pii, repetition_features, token_count)
 
     docs = datagen.load(spark, sf_dir, "documents")
-    q = repetition_features(quality_score(docs))
+    q = redact_pii(repetition_features(quality_score(docs)), with_counts=True)
     return q.select(
         "doc_id",
         F.col("n_words"),
@@ -1266,6 +1301,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dup_kgram_frac"), 6).alias("dup_kgram_frac"),
         F.round(F.col("quality_score"), 6).alias("quality_score"),
         "quality_keep",
+        "pii_email_count", "pii_ssn_count", "pii_phone_count", "pii_ipv4_count",
+        F.length("text_redacted").alias("redacted_len"),
     )
 
 

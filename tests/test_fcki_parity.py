@@ -147,30 +147,41 @@ def test_fcki_auto_mode_buckets_oversized_cluster(spark, monkeypatch):
 
 
 def test_fcki_transform_job_counts(spark):
-    """Driver round-trip budget (VERDICT r3 #7): exact mode (bucket_size=0)
-    runs exactly ONE job chain per transform action; auto/bucketed mode adds
-    exactly one sizing job over the persisted tagged frame (the tagging UDF
-    never computes twice)."""
+    """Driver round-trip budget (VERDICT r3 #7 + ADVICE r4): exact mode
+    (bucket_size=0) runs exactly ONE job chain per transform action; auto
+    mode on the SAME frame that was fitted skips the sizing job entirely
+    (the fit collect proved the frame fits in one bucket) — also one job;
+    auto mode on a DIFFERENT frame cannot use the proof and pays exactly
+    one sizing job over the persisted tagged frame (the tagging UDF never
+    computes twice)."""
     from ficaria_spark.plans.cache import release_operator_caches
 
     pdf = _frame(seed=77)
     sdf = spark.createDataFrame(pdf)
+    other = spark.createDataFrame(pdf)  # same data, different frame object
     sc = spark.sparkContext
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for mode, max_jobs, group in ((0, 1, "fcki-exact"), (None, 2, "fcki-auto")):
+        cases = (
+            (0, sdf, 1, "fcki-exact"),
+            (None, sdf, 1, "fcki-auto-samefit"),   # sizing skipped: proof holds
+            (None, other, 2, "fcki-auto-other"),   # no proof: sizing job runs
+        )
+        for mode, tdf, max_jobs, group in cases:
             imp = FCMKIterativeImputer(n_clusters=2, random_state=3,
                                        feature_cols=FEATS, bucket_size=mode)
             imp.fit(sdf)
             sc.setJobGroup(group, "count transform jobs")
             try:
-                assert imp.transform(sdf).count() == len(pdf)
+                assert imp.transform(tdf).count() == len(pdf)
             finally:
                 sc.setJobGroup(None, None)
             jobs = sc.statusTracker().getJobIdsForGroup(group)
             assert len(jobs) <= max_jobs, (
                 f"{group}: {len(jobs)} jobs (budget {max_jobs})")
+            if group == "fcki-auto-samefit":
+                assert len(jobs) == 1, "sizing-skip proof did not engage"
             release_operator_caches()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -749,6 +749,33 @@ def test_audio_features_null_payload_row(spark):
     assert (out[out.item_id < 100].rms > 0).all()
 
 
+def test_image_stages_null_payload_row(spark):
+    """ADVICE r4: image_features and resize_images share audio_features'
+    null-payload policy — NaN features / null passthrough, row alignment
+    preserved, no crash."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import (
+        image_features, resize_images, synthetic_image_table)
+
+    imgs = synthetic_image_table(spark, n=4)
+    with_null = imgs.unionByName(
+        imgs.limit(1).selectExpr("item_id + 100 as item_id",
+                                 "cast(null as binary) as payload", "meta"))
+    feats = image_features(with_null).orderBy("item_id").toPandas()
+    assert len(feats) == 5
+    null_row = feats[feats.item_id >= 100].iloc[0]
+    assert np.isnan(np.asarray(null_row.chan_mean, dtype=float)).all()
+    assert np.isnan(np.asarray(null_row.lum_hist, dtype=float)).all()
+    ok = feats[feats.item_id < 100]
+    assert all(np.isfinite(np.asarray(v, dtype=float)).all() for v in ok.chan_mean)
+
+    rs = resize_images(with_null, target=(8, 8)).orderBy("item_id").toPandas()
+    assert len(rs) == 5
+    assert rs[rs.item_id >= 100].payload.iloc[0] is None
+    assert all(len(p) == 8 * 8 * 3 for p in rs[rs.item_id < 100].payload)
+
+
 def test_encode_netpbm_rejects_bad_channels():
     """Review r4 #4: 2-D gray arrays are accepted (promoted to (h,w,1));
     2- or 4-channel arrays raise instead of round-tripping to garbage."""

@@ -411,6 +411,48 @@ def test_asof_cogroup_null_entity_one_side(spark):
     assert out.v_asof.tolist() == [10.0, 20.0, 20.0]
 
 
+def test_asof_cogroup_null_entity_both_sides(spark):
+    """Null entities on BOTH sides: SQL null-join semantics are pinned — a
+    null-key left row stays in the output with a null as-of value (it must
+    NOT pick up a null-key right row; both-null matching would otherwise
+    ride on pandas' version-dependent NaN factorization), and non-null
+    entities join exactly as before. num_buckets=1 forces the null rows of
+    both sides into the same pandas merge call."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ficaria_spark.operators.temporal import asof_join_cogroup
+
+    t0 = dt.datetime(2024, 5, 1)
+    left = pd.DataFrame({
+        "rid": [0, 1, 2],
+        "entity": pd.array([1, None, None], dtype="Int64"),
+        "ts": [t0 + dt.timedelta(minutes=m) for m in (5, 7, 9)],
+    })
+    right = pd.DataFrame({
+        "entity": pd.array([1, None, None], dtype="Int64"),
+        "ts": [t0, t0 + dt.timedelta(minutes=1), t0 + dt.timedelta(minutes=2)],
+        "v": [10.0, 98.0, 99.0],
+    })
+    out = asof_join_cogroup(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by="entity", value_cols=["v"], num_buckets=1,
+    ).orderBy("rid").toPandas()
+    assert out.v_asof.tolist()[0] == 10.0
+    assert pd.isna(out.v_asof.tolist()[1]) and pd.isna(out.v_asof.tolist()[2])
+    # the null keys themselves survive (no sentinel leaks into the output)
+    assert pd.isna(out.entity[1]) and pd.isna(out.entity[2])
+
+    # all-null right side + null left keys: the early-return path
+    right2 = right.assign(entity=pd.array([None, None, None], dtype="Int64"))
+    out2 = asof_join_cogroup(
+        spark.createDataFrame(left), spark.createDataFrame(right2),
+        on="ts", by="entity", value_cols=["v"], num_buckets=1,
+    ).orderBy("rid").toPandas()
+    assert out2.v_asof.isna().all()
+
+
 def test_rollup_source_is_coarsest_by_rank(spark, sf_dir):
     """An out-of-order level chain must still re-agg each level from the
     COARSEST aligned finer level by granularity rank, not list position
