@@ -57,7 +57,13 @@ HEADLINE = [
     "range_join_weeks",
     "ann_ivf",
     "cms_token_counts",
-    "dedup_clusters_star",
+    # round 5: the folded cluster-resolution query runs BOTH algorithms
+    # (min-label propagation AND large-star/small-star) from one persisted
+    # pair relation — its wall is NOT comparable to r04's
+    # dedup_clusters_star (star only); media_features adds the multimodal
+    # family (real netpbm/WAV codecs) to the timed surface
+    "dedup_clusters",
+    "media_features",
 ]
 
 
@@ -130,7 +136,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     probe_after = calibration_probe()
     probe = min(probe_before, probe_after)
     return {
-        "metric": "headline-suite wall time (24 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup+clusters, ANN (exact+IVF), rollup, range join, CMS, text; min of interleaved reps)",
+        "metric": "headline-suite wall time (25 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup+clusters (both algorithms), ANN (exact+IVF), rollup, range join, CMS, text+PII, multimodal; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,

@@ -140,14 +140,18 @@ def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -
 
 
 def image_features(
-    df: DataFrame, *, payload_col: str = "payload", meta_col: str = "meta",
+    df: DataFrame, *, payload_col: str = "payload", meta_col: str | None = "meta",
     use_fake_codec: bool = True,
 ) -> DataFrame:
     """Decode → per-channel mean/std + 8-bucket luminance histogram.
 
     One mapInPandas pass; output drops the payload (features only), so the
-    binary column never shuffles.
+    binary column never shuffles. ``meta_col=None`` is allowed with the real
+    codec (self-describing payloads like netpbm carry their own dimensions).
     """
+    if meta_col is None and use_fake_codec:
+        raise ValueError("meta_col=None requires use_fake_codec=False "
+                         "(the fake codec needs width/height/channels)")
     schema = _schema_minus(
         df, payload_col,
         "chan_mean array<double>, chan_std array<double>, lum_hist array<double>")
@@ -156,7 +160,8 @@ def image_features(
         nan3 = [float("nan")] * 3
         for pdf in batches:
             means, stds, hists = [], [], []
-            for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
+            metas = pdf[meta_col] if meta_col is not None else [None] * len(pdf)
+            for payload, meta in zip(pdf[payload_col], metas):
                 if payload is None:
                     # corrupt/failed-fetch row must not kill the stage
                     # (same policy as audio_features): NaN features,
@@ -283,10 +288,12 @@ def audio_features(
     return df.mapInPandas(run, schema)
 
 
-def synthetic_media_table(spark, n: int = 32, seed: int = 6) -> DataFrame:
-    """(item_id, kind, payload binary) with REAL decodable payloads —
-    P6 PPM images and PCM-16 WAV clips built in-process — so the real-codec
-    paths are exercised end-to-end without any external library."""
+def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, bytearray]]:
+    """Deterministic (item_id, kind, payload) rows with REAL decodable
+    payloads — P6 PPM images and PCM-16 WAV clips built in-process. Pure
+    Python/numpy (no Spark) so the driver-side oracle twin
+    (oracle_fit.media_features_expected) regenerates byte-identical payloads
+    from the same (n, seed)."""
     import io
     import wave
 
@@ -309,12 +316,19 @@ def synthetic_media_table(spark, n: int = 32, seed: int = 6) -> DataFrame:
                 wf.setframerate(rate)
                 wf.writeframes(tone.tobytes())
             rows.append((i, "audio", bytearray(buf.getvalue())))
+    return rows
+
+
+def synthetic_media_table(spark, n: int = 32, seed: int = 6) -> DataFrame:
+    """(item_id, kind, payload binary) with REAL decodable payloads —
+    P6 PPM images and PCM-16 WAV clips built in-process — so the real-codec
+    paths are exercised end-to-end without any external library."""
     schema = T.StructType([
         T.StructField("item_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(synthetic_media_rows(n, seed), schema)
 
 
 def synthetic_image_table(spark, n: int = 64, seed: int = 5) -> DataFrame:

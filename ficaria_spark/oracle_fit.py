@@ -906,6 +906,72 @@ FROM (VALUES
 """
 
 
+def clusters_both_oracle_sql(rows) -> str:
+    """Twin for the folded dedup_clusters query: min-label propagation and
+    large-star/small-star contraction must resolve the SAME components, so
+    one union-find result pins both output columns."""
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS cluster_rep, "
+                "CAST(NULL AS BIGINT) AS cluster_rep_star WHERE FALSE")
+    vals = ",\n    ".join(f"({i}, {r})" for i, r in rows)
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep_star
+FROM (VALUES
+    {vals}
+) AS t(doc_id, cluster_rep)
+"""
+
+
+def media_features_expected(n: int = 32, seed: int = 6):
+    """media_features driver twin: regenerate the synthetic media payloads
+    from the same (n, seed) and compute the image/audio features with the
+    SAME numpy expressions the mapInPandas kernels use (multimodal.py
+    image_features/audio_features) — identical ops on identical arrays give
+    bit-identical float64, the structural-parity pattern the FCKI/DT twins
+    established."""
+    from ficaria_spark.operators.multimodal import (
+        decode_netpbm, decode_wav, synthetic_media_rows)
+
+    out = []
+    for item_id, kind, payload in synthetic_media_rows(n, seed):
+        if kind == "image":
+            img = decode_netpbm(bytes(payload))
+            px = img.reshape(-1, img.shape[-1]).astype(np.float64)
+            means, stds = px.mean(axis=0), px.std(axis=0)
+            lum = px.mean(axis=1)
+            hist = np.histogram(lum, bins=8, range=(0, 256))[0] / max(len(lum), 1)
+            for j in range(3):
+                out.append((item_id, kind, f"chan_mean_{j}", float(means[j])))
+                out.append((item_id, kind, f"chan_std_{j}", float(stds[j])))
+            for j in range(8):
+                out.append((item_id, kind, f"lum_hist_{j}", float(hist[j])))
+        else:
+            x, rate = decode_wav(bytes(payload))
+            mono = x.mean(axis=1)
+            zc = np.signbit(mono[1:]) != np.signbit(mono[:-1])
+            out.append((item_id, kind, "duration_s", len(mono) / rate))
+            out.append((item_id, kind, "rms",
+                        float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0))
+            out.append((item_id, kind, "peak",
+                        float(np.abs(mono).max()) if len(mono) else 0.0))
+            out.append((item_id, kind, "zcr",
+                        float(zc.mean()) if len(mono) > 1 else 0.0))
+    return out
+
+
+def media_oracle_sql(rows, *, nd: int = 6) -> str:
+    vals = ",\n    ".join(
+        f"({i}, '{k}', '{f}', {_lit(v)})" for i, k, f, v in rows)
+    return f"""SELECT CAST(item_id AS BIGINT) AS item_id, kind, feature,
+       round(CAST(value AS DOUBLE), {nd}) AS value
+FROM (VALUES
+    {vals}
+) AS t(item_id, kind, feature, value)
+"""
+
+
 def minhash_xxhash_oracle_sql(rows) -> str:
     if not rows:
         return ("SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
@@ -1050,10 +1116,9 @@ def build_dynamic_oracles(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
             minhash_xxhash_expected(sf_dir)),
         "dedup_simhash": lambda: simhash_xxhash_oracle_sql(
             simhash_xxhash_expected(sf_dir)),
-        "dedup_clusters": lambda: clusters_oracle_sql(
+        "dedup_clusters": lambda: clusters_both_oracle_sql(
             dedup_clusters_expected(sf_dir)),
-        "dedup_clusters_star": lambda: clusters_oracle_sql(
-            dedup_clusters_expected(sf_dir)),
+        "media_features": lambda: media_oracle_sql(media_features_expected()),
     }
     for name, build in builders.items():
         try:

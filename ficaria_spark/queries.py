@@ -1061,28 +1061,66 @@ _register_simhash_portable()
 
 @register("dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster resolution: MinHash pairs → connected components via
-    min-label propagation → (doc_id, cluster_rep). Oracle = driver-twin
-    union-find over the (itself oracle-verified) pair relation."""
-    from ficaria_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+    """Near-dup cluster resolution, BOTH algorithms from one MinHash pair
+    relation (folded so the driver's 50-query window frees a slot for
+    media_features, VERDICT r4 #1): min-label propagation (`cluster_rep`)
+    and large-star/small-star contraction (`cluster_rep_star`, O(log n)
+    rounds). They must resolve identical components — the driver-twin
+    union-find oracle pins both columns to the same values, so the gate now
+    checks the algorithms against the twin AND against each other."""
+    from ficaria_spark.operators.dedup import (
+        dedup_clusters, dedup_clusters_star, minhash_dedup_pairs)
+    from ficaria_spark.plans.cache import tracked_persist
 
     docs = datagen.load(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16,
-                                threshold=0.5, engine="arrow")
-    return dedup_clusters(pairs)
+    pairs = tracked_persist(minhash_dedup_pairs(
+        docs, k=3, num_hashes=64, bands=16, threshold=0.5, engine="arrow"))
+    a = dedup_clusters(pairs)
+    b = dedup_clusters_star(pairs).withColumnRenamed(
+        "cluster_rep", "cluster_rep_star")
+    return a.join(b, "doc_id")
 
 
-@register("dedup_clusters_star")
-def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same component resolution via large-star/small-star contraction
-    (O(log n) rounds) — must produce the identical relation, so it shares
-    the union-find twin oracle."""
-    from ficaria_spark.operators.dedup import dedup_clusters_star, minhash_dedup_pairs
+@register("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal driver-gate row (VERDICT r4 #1): the deterministic
+    synthetic media table (REAL netpbm P6 images + PCM-16 WAV clips, built
+    in-plan from (n=32, seed=6)) through the REAL codecs —
+    image_features(use_fake_codec=False) and audio_features — emitted in
+    long form (item_id, kind, feature, value). Oracle = driver-twin VALUES
+    relation computed by oracle_fit.media_features_expected from the same
+    generator + decoders (pure numpy/stdlib, no Spark)."""
+    from ficaria_spark.operators.multimodal import (
+        audio_features, image_features, synthetic_media_table)
 
-    docs = datagen.load(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, k=3, num_hashes=64, bands=16,
-                                threshold=0.5, engine="arrow")
-    return dedup_clusters_star(pairs)
+    media = synthetic_media_table(spark, n=32, seed=6)
+    img = image_features(media.where("kind = 'image'"), meta_col=None,
+                         use_fake_codec=False)
+    au = audio_features(media.where("kind = 'audio'"))
+
+    img_feats = []
+    for j in range(3):
+        img_feats.append(F.struct(
+            F.lit(f"chan_mean_{j}").alias("feature"),
+            F.element_at("chan_mean", j + 1).alias("value")))
+        img_feats.append(F.struct(
+            F.lit(f"chan_std_{j}").alias("feature"),
+            F.element_at("chan_std", j + 1).alias("value")))
+    for j in range(8):
+        img_feats.append(F.struct(
+            F.lit(f"lum_hist_{j}").alias("feature"),
+            F.element_at("lum_hist", j + 1).alias("value")))
+    au_feats = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).alias("value"))
+        for c in ("duration_s", "rms", "peak", "zcr")]
+
+    def long_form(df, feats):
+        return df.select(
+            "item_id", "kind", F.explode(F.array(*feats)).alias("f")
+        ).select("item_id", "kind", F.col("f.feature").alias("feature"),
+                 F.round(F.col("f.value"), 6).alias("value"))
+
+    return long_form(img, img_feats).unionByName(long_form(au, au_feats))
 
 
 @register("dedup_simhash")

@@ -29,7 +29,7 @@ EXPECTED_ORACLE = {
     "pack_segments", "pack_sequences", "vocab_stats",
     "decontaminate", "hash_split", "stratified_sample", "pipeline_tokens",
     "token_bigrams", "dedup_clusters", "range_join_weeks", "rollup_events",
-    "cms_token_counts", "dedup_clusters_star",
+    "cms_token_counts", "media_features",
 }
 # the driver verifies at most this many queries per round (r03 evidence:
 # 54 registered, exactly the first 50 got rows) — the registry must fit
@@ -72,7 +72,10 @@ def test_latest_correctness_covers_registry(contract):
     import re
     from pathlib import Path
 
-    NEW_SINCE_LAST_ROUND: set[str] = set()
+    # round 5: media_features replaced dedup_clusters_star in the window
+    # (star folded into dedup_clusters); clear at round end once
+    # CORRECTNESS_r05.json exists
+    NEW_SINCE_LAST_ROUND: set[str] = {"media_features"}
 
     root = Path(__file__).resolve().parent.parent
     files = sorted(root.glob("CORRECTNESS_r*.json"),
