@@ -784,15 +784,15 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     sigs = tracked_persist(simhash(df, text_col, id_col, seed=seed, word_hash=word_hash))
     widths, offsets = simhash_band_layout(max_hamming, nbits)
     bands = max_hamming + 1
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", int(offsets[b]))
-            .bitwiseAND(F.lit((1 << widths[b]) - 1))
-            .alias("bucket"),
-        )
-        for b in range(bands)
-    ]
+    def _band_struct(b: int):
+        bucket = F.shiftrightunsigned("simhash", int(offsets[b]))
+        if widths[b] < 64:
+            # a full-width band (max_hamming=0, 64-bit hash) needs no mask —
+            # and (1 << 64) - 1 would overflow the long literal
+            bucket = bucket.bitwiseAND(F.lit((1 << int(widths[b])) - 1))
+        return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+
+    band_structs = [_band_struct(b) for b in range(bands)]
     banded = sigs.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.bucket")

@@ -486,6 +486,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# repetition-gate threshold for the composed pipeline: picked against the
+# corpus dup_word_frac distribution (median ≈ 0.54, p90 ≈ 0.68) so the gate
+# genuinely drops the most repetitive ~10-15% of docs at every test scale
+_REP_GATE = 0.65
+
+
+def _pii_total_sql(col: str) -> str:
+    """DuckDB total-PII-span count generated from the shared PII_PATTERNS
+    table (same source of truth as the Spark operator)."""
+    from ficaria_spark.operators.text import PII_PATTERNS
+
+    return " + ".join(
+        f"len(regexp_extract_all({col}, '{pat}'))" for _, pat, _ in PII_PATTERNS)
+
+
 _PIPE_TOKENS_ORACLE = f"""WITH train AS (
   SELECT * FROM documents WHERE doc_id % 17 != 0
 ),
@@ -545,12 +560,29 @@ qkeep AS (
         * (1.0 - least(punct * 2.0, 1.0) * 0.5)
         * (0.5 + least(stopr * 4.0, 1.0) * 0.5) >= 0.5
 ),
+-- ③b intra-doc repetition gate (Gopher-style dup-word fraction)
+repk AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x != '') AS wf
+    FROM train)
+  WHERE CASE WHEN len(wf) > 0
+             THEN 1.0 - len(list_distinct(wf)) / cast(len(wf) AS DOUBLE)
+             ELSE 0.0 END <= {_REP_GATE}
+),
+-- ③c PII gate: drop any doc carrying a redactable span
+piik AS (
+  SELECT doc_id FROM train WHERE {_pii_total_sql("text")} = 0
+),
 -- ④ deterministic per-source mix weights
 surv AS (
   SELECT t.doc_id, t.text, t.source
   FROM train t
   JOIN keep USING (doc_id)
   JOIN qkeep USING (doc_id)
+  JOIN repk USING (doc_id)
+  JOIN piik USING (doc_id)
   LEFT JOIN flagged f ON f.doc_id = t.doc_id
   WHERE f.doc_id IS NULL
     AND ('0x' || substr(md5(cast(t.doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT
@@ -577,15 +609,18 @@ FROM a
 
 @register("pipeline_tokens", oracle=_PIPE_TOKENS_ORACLE)
 def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline, end-to-end with ONE exact oracle:
-    exact dedup → n-gram decontamination vs a benchmark split → quality
-    gate → deterministic per-source mix weights → tokenize → fixed-context
-    sequence packing. Every stage is the engine's own operator; only ids
-    and small flag tables cross stage boundaries (text never re-shuffles
-    between stages — the survivors join is id-keyed)."""
+    """The composed training-data pipeline, end-to-end with ONE exact oracle
+    — the full pre-training scrub (VERDICT r4 #7): exact dedup → n-gram
+    decontamination vs a benchmark split → quality gate → intra-doc
+    repetition gate (dup_word_frac) → PII gate (any redactable span drops
+    the doc) → deterministic per-source mix weights → tokenize →
+    fixed-context sequence packing. Every stage is the engine's own
+    operator; only ids and small flag tables cross stage boundaries (text
+    never re-shuffles between stages — the survivors join is id-keyed)."""
     from ficaria_spark.operators.dedup import decontaminate, exact_dedup
     from ficaria_spark.operators.sampling import stratified_sample
-    from ficaria_spark.operators.text import quality_score
+    from ficaria_spark.operators.text import (
+        quality_score, redact_pii, repetition_features)
     from ficaria_spark.operators.tokens import pack_sequences
 
     docs = datagen.load(spark, sf_dir, "documents")
@@ -595,9 +630,16 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = exact_dedup(train).select(F.col("keep_id").alias("doc_id"))
     flagged = decontaminate(train, bench, k=3, min_shared=2).select("doc_id")
     qkeep = quality_score(train).where("quality_keep").select("doc_id")
+    repk = (repetition_features(train)
+            .where(F.col("dup_word_frac") <= _REP_GATE).select("doc_id"))
+    pii_counts = [f"pii_{k}_count" for k in ("email", "ssn", "phone", "ipv4")]
+    piik = (redact_pii(train, with_counts=True)
+            .where(sum(F.col(c) for c in pii_counts) == 0).select("doc_id"))
     surv = (
         train.join(keep, "doc_id")
         .join(qkeep, "doc_id")
+        .join(repk, "doc_id")
+        .join(piik, "doc_id")
         .join(flagged, "doc_id", "left_anti")
     )
     surv = stratified_sample(surv, {"src1": 0.75, "src2": 0.5},
