@@ -520,7 +520,9 @@ class FCMKIterativeImputer(_ImputerBase):
         # object can then skip the bucket-sizing job when that total already
         # fits in one bucket
         self._fit_df_ = df
-        self._fit_exact_n_ = len(Xtr) if len(Xtr) < self.fit_cap else None
+        self._fit_exact_n_ = (
+            len(Xtr) if self.fit_cap is None or len(Xtr) < self.fit_cap
+            else None)
         k = self.n_clusters
         if k is None:
             k = fcmk.find_optimal_clusters(

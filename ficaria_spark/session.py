@@ -84,6 +84,13 @@ def get_spark(
     for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{_v}", "1")
+    # ad-hoc conf injection for experiments and cluster tuning without code
+    # changes (e.g. the shuffle-codec sweep in BENCH/BASELINE.md):
+    # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;spark.shuffle.file.buffer=1m"
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
