@@ -359,20 +359,19 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
             "SPARK_GRAFT_CPUS": str(total),
         }
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
-        if mode == "local-cluster":
-            # single-box multi-JVM topology tuning (round-5 knob sweep, see
-            # BENCH/BASELINE.md): every executor shares one page cache and
-            # there is NO network, so shuffle compression only burns CPU on
-            # the critical path (eff 0.69→0.75) and fatter shuffle buffers
-            # cut flush syscalls (4-exec wall −20%). A REAL cluster should
-            # keep compression ON (network-bound shuffles) — these knobs are
-            # the sandbox's emulation fix, not engine defaults; override via
-            # SPARK_GRAFT_EXTRA_CONF.
-            env.setdefault(
-                "SPARK_GRAFT_EXTRA_CONF",
-                "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
-                "spark.shuffle.file.buffer=1m;spark.reducer.maxSizeInFlight=96m;"
-                "spark.shuffle.unsafe.file.output.buffer=1m")
+        # single-box topology tuning (round-5 knob sweep, BENCH/BASELINE.md):
+        # shuffles never cross a network here (one page cache, both modes),
+        # so shuffle compression only burns CPU on the critical path
+        # (local-cluster eff 0.69→0.75; local 0.783→0.816 same-regime) and
+        # fatter shuffle buffers cut flush syscalls (4-exec wall −20%). A
+        # REAL cluster should keep compression ON (network-bound shuffles) —
+        # these knobs are the sandbox's emulation fix, not engine defaults;
+        # override via SPARK_GRAFT_EXTRA_CONF.
+        env.setdefault(
+            "SPARK_GRAFT_EXTRA_CONF",
+            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
+            "spark.shuffle.file.buffer=1m;spark.reducer.maxSizeInFlight=96m;"
+            "spark.shuffle.unsafe.file.output.buffer=1m")
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
