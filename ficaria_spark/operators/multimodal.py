@@ -335,7 +335,12 @@ def synthetic_media_table(spark, n: int = 32, seed: int = 6) -> DataFrame:
         T.StructField("kind", T.StringType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    return spark.createDataFrame(synthetic_media_rows(n, seed), schema)
+    # n is small (a synthetic fixture): without the coalesce, createDataFrame
+    # spreads it over defaultParallelism partitions and every downstream
+    # mapInPandas stage spins one Python worker PER near-empty partition
+    # (measured: 7.8 s cold for 32 rows at 32 partitions vs ~1 s coalesced)
+    return spark.createDataFrame(
+        synthetic_media_rows(n, seed), schema).coalesce(max(1, min(4, n // 8)))
 
 
 def synthetic_image_table(spark, n: int = 64, seed: int = 5) -> DataFrame:
