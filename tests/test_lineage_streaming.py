@@ -192,3 +192,52 @@ def test_streaming_exact_dedup_end_to_end(spark, tmp_path):
     tagged = streaming_fingerprint_tag(static).toPandas()
     assert tagged.content_hash.nunique() == 20
     assert (tagged.n_tokens >= 4).all()
+
+
+def test_streaming_text_scrub_matches_batch(spark, tmp_path):
+    """The text family (quality, repetition, redaction, token counts) is
+    stateless projections, so the SAME operators must run unchanged on a
+    stream — the streaming face of the round-5 scrub pipeline. availableNow
+    over a parquet source → memory sink; per-row results must equal the
+    batch computation bit-for-bit (including a planted empty doc and a
+    planted PII doc)."""
+    import pandas as pd
+
+    from ficaria_spark.operators.text import (
+        quality_score, redact_pii, repetition_features, token_count)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spam spam spam spam spam spam spam spam",
+        "mail me at a@b.io or call (555) 867-5309",
+        "",
+        "   ",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = str(tmp_path / "scrub_src")
+    static = spark.createDataFrame(pdf)
+    static.write.parquet(src)
+
+    def scrub(df):
+        out = redact_pii(repetition_features(quality_score(df)),
+                         with_counts=True)
+        return out.select(
+            "doc_id", "quality_score", "quality_keep", "dup_word_frac",
+            "pii_email_count", "pii_phone_count", "text_redacted",
+            token_count("text").alias("n_ws_tokens"))
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        scrub(stream).writeStream.format("memory").queryName("scrub_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM scrub_stream")
+           .orderBy("doc_id").toPandas())
+    want = scrub(spark.read.parquet(src)).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    # the planted rows actually exercised the interesting paths
+    assert want.pii_email_count.sum() == 1
+    assert "<EMAIL>" in want.text_redacted[2]
+    assert want.n_ws_tokens.tolist()[3:] == [0, 0]
+    assert not want.quality_keep[3] and not want.quality_keep[4]
