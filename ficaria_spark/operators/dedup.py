@@ -139,28 +139,154 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def decontaminate(train: DataFrame, bench: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
-                  min_shared: int = 1, shingle_hash: str = "md5") -> DataFrame:
+                  min_shared: int = 1, shingle_hash: str = "md5",
+                  method: str = "broadcast",
+                  bloom_fpp: float = 1e-4) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing ≥ ``min_shared``
     distinct word ``k``-grams with ANY benchmark doc (the standard n-gram
     eval-leakage guard for LLM training corpora).
 
     Returns (id_col, n_shared) for flagged docs — anti-join the training set
-    on it to drop them. Scale shape: the benchmark side is small by nature,
-    so its distinct shingle set is BROADCAST; the training side is one
-    map-side shingle projection + a broadcast-hash semi-join + one hash agg —
-    no all-pairs anything, no shuffle of document text."""
+    on it to drop them.
+
+    ``method`` picks the scale shape (all three produce the same flag
+    semantics; bloom adds a bounded one-sided error):
+
+    - ``"broadcast"`` (default, exact): the benchmark's distinct shingle set
+      is BROADCAST; the training side is one map-side shingle projection +
+      a broadcast-hash semi-join + one hash agg — no all-pairs anything, no
+      shuffle of document text. Right whenever the benchmark shingle set
+      fits a broadcast (the usual case: eval sets are small).
+    - ``"shuffle"`` (exact): a plain semi-join with no broadcast hint —
+      Catalyst/AQE picks sort-merge or shuffled-hash. The fallback when the
+      held-out corpus is too big to broadcast; costs a shuffle of the TRAIN
+      shingle stream.
+    - ``"bloom"``: a Bloom filter over the benchmark shingles replaces the
+      set — CONSTANT broadcast state (sized by the optimal
+      m = −n·ln(fpp)/ln²2 at ``bloom_fpp``) and a map-only probe: the
+      multi-TB train shingle stream never shuffles for the membership test.
+      Built distributed (per-partition numpy bitmaps via mapInArrow,
+      OR-reduced on the driver — one bounded plan-time job, the fit-state
+      pattern), probed by a vectorized Arrow kernel against the broadcast
+      bitmap. ONE-SIDED error: every truly-shared shingle hits (missed
+      contamination is impossible — the error that matters), a false
+      positive can only over-flag at ≤ ``bloom_fpp`` per probe, further
+      damped by ``min_shared`` > 1 (FP hits are independent).
+    """
     tr = shingles(train, text_col, id_col, k=k, shingle_hash=shingle_hash)
-    be = shingles(bench, text_col, id_col, k=k,
-                  shingle_hash=shingle_hash).select("shingle").distinct()
-    shared = (
-        tr.join(F.broadcast(be), "shingle")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    if method == "bloom":
+        be_sh = shingles(bench, text_col, id_col, k=k,
+                         shingle_hash=shingle_hash).select(
+            F.xxhash64("shingle").alias("h"))
+        bits_bc = _bloom_build(be_sh, fpp=bloom_fpp)
+        hits = _bloom_probe(
+            tr.select("id", F.xxhash64("shingle").alias("h")), bits_bc)
+        shared = (hits.where("hit").groupBy("id")
+                  .agg(F.count("*").alias("n_shared")))
+    elif method in ("broadcast", "shuffle"):
+        be = shingles(bench, text_col, id_col, k=k,
+                      shingle_hash=shingle_hash).select("shingle").distinct()
+        if method == "broadcast":
+            be = F.broadcast(be)
+        shared = (
+            tr.join(be, "shingle")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+    else:
+        raise ValueError(
+            f"method must be 'broadcast', 'shuffle' or 'bloom', got {method!r}")
     return (
         shared.where(F.col("n_shared") >= min_shared)
         .withColumnRenamed("id", id_col)
     )
+
+
+#: Bloom probe count k ≈ (m/n)·ln2 is fixed at build time; positions come
+#: from double hashing h1 + i·h2 (Kirsch–Mitzenmatcher: k independent
+#: functions are unnecessary — two suffice without hurting the FP bound)
+_BLOOM_K_CAP = 16
+
+
+def _bloom_positions(h: "np.ndarray", n_bits: int, n_hashes: int) -> "np.ndarray":
+    """(len(h), n_hashes) bit positions via double hashing on the uint64
+    xxhash64 values — identical math in build and probe (one function)."""
+    hu = h.astype(np.uint64)
+    h1 = hu & np.uint64(0xFFFFFFFF)
+    h2 = (hu >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _bloom_build(hashed: DataFrame, *, fpp: float):
+    """Distributed Bloom build over a (h long) column: each partition emits
+    its local numpy bitmap (one binary row via mapInArrow), the driver ORs
+    the bounded partials, and the result ships back as an sc.broadcast —
+    the library's standard fit-state shape. Returns (broadcast, n_bits,
+    n_hashes)."""
+    import math
+
+    import pyarrow as pa
+
+    n_items = max(int(hashed.agg(
+        F.approx_count_distinct("h").alias("n")).first()["n"]), 16)
+    n_bits = max(1024, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    n_hashes = min(_BLOOM_K_CAP, max(1, round(n_bits / n_items * math.log(2))))
+    n_bytes = (n_bits + 7) // 8
+
+    def build(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for batch in batches:
+            h = batch.column(0).to_numpy(zero_copy_only=False)
+            h = h[~np.isnan(h)] if h.dtype.kind == "f" else h
+            pos = _bloom_positions(np.asarray(h, dtype=np.int64),
+                                   n_bits, n_hashes)
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([bits.tobytes()], type=pa.binary())], names=["bm"])
+
+    # ≤ 256 partials keeps the driver OR bounded regardless of input size
+    src = hashed.where(F.col("h").isNotNull())
+    if src.rdd.getNumPartitions() > 256:
+        src = src.repartition(256)
+    partials = src.mapInArrow(build, "bm binary").collect()
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    sc = hashed.sparkSession.sparkContext
+    return sc.broadcast(acc), n_bits, n_hashes
+
+
+def _bloom_probe(df: DataFrame, bloom_state) -> DataFrame:
+    """Vectorized membership probe: adds a boolean ``hit`` column testing
+    the ``h`` column against the broadcast bitmap. Map-only."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    bits_bc, n_bits, n_hashes = bloom_state
+    # NB: df.schema.add() would MUTATE the frame's live StructType — copy
+    schema_out = T.StructType(
+        df.schema.fields + [T.StructField("hit", T.BooleanType())])
+
+    def probe(batches):
+        bits = bits_bc.value
+        for batch in batches:
+            h = batch.column(batch.schema.get_field_index("h")) \
+                .to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(h) if h.dtype.kind == "f" else np.ones(len(h), bool)
+            hit = np.zeros(len(h), dtype=bool)
+            if valid.any():
+                pos = _bloom_positions(
+                    np.asarray(h[valid], dtype=np.int64), n_bits, n_hashes)
+                probes = (bits[pos >> 3]
+                          & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+                hit[valid] = probes.all(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(hit)],
+                names=[*batch.schema.names, "hit"])
+
+    return df.mapInArrow(probe, schema_out.simpleString()[7:-1])
 
 
 # ---------------------------------------------------------------------------

@@ -802,3 +802,57 @@ def test_encode_netpbm_rejects_bad_channels():
     for c in (2, 4):
         with _pytest.raises(ValueError, match="channels"):
             encode_netpbm(np.zeros((3, 4, c), dtype=np.uint8))
+
+
+def test_decontaminate_shuffle_and_bloom_methods(spark, sf_dir):
+    """The three decontaminate scale shapes agree: shuffle == broadcast
+    exactly (same semantics, no broadcast hint); bloom is a SUPERSET with
+    one-sided error — it must flag every truly-contaminated doc (false
+    negatives impossible) and over-flag at most a tiny FP tail."""
+    from ficaria_spark import datagen
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 17 != 0")
+    bench = docs.where("doc_id % 17 = 0")
+
+    exact = dd.decontaminate(train, bench, k=3, min_shared=2)
+    ex = {(r.doc_id, r.n_shared) for r in exact.collect()}
+
+    shuf = dd.decontaminate(train, bench, k=3, min_shared=2, method="shuffle")
+    assert {(r.doc_id, r.n_shared) for r in shuf.collect()} == ex
+
+    bloom = dd.decontaminate(train, bench, k=3, min_shared=2, method="bloom",
+                             bloom_fpp=1e-4)
+    bl = {r.doc_id: r.n_shared for r in bloom.collect()}
+    for doc_id, n in ex:
+        assert bl.get(doc_id, 0) >= n, "bloom missed true contamination"
+    # FP tail: at fpp 1e-4 over ~60k probed shingles, expect ~none extra
+    extra = set(bl) - {d for d, _ in ex}
+    assert len(extra) <= max(2, len(ex) // 20), extra
+
+    with pytest.raises(ValueError, match="method must be"):
+        dd.decontaminate(train, bench, method="magic")
+
+
+def test_bloom_build_probe_kernel_properties(spark):
+    """Direct kernel pin: planted members always hit; non-members hit at
+    ~fpp; null hashes never hit and never crash."""
+    import pandas as pd
+
+    from ficaria_spark.operators.dedup import _bloom_build, _bloom_probe
+
+    members = spark.createDataFrame(
+        pd.DataFrame({"h": np.arange(1000, dtype=np.int64) * 2654435761}))
+    state = _bloom_build(members, fpp=1e-3)
+    probe_in = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(3000),
+        "h": np.concatenate([
+            np.arange(1000, dtype=np.int64) * 2654435761,      # members
+            np.arange(1000, dtype=np.int64) * 7919 + 13,       # non-members
+            np.arange(1000, dtype=np.int64) * 104729 + 7,      # non-members
+        ]),
+    }))
+    got = _bloom_probe(probe_in, state).toPandas().sort_values("id")
+    assert got.hit[:1000].all(), "a planted member missed (impossible)"
+    fp = int(got.hit[1000:].sum())
+    assert fp <= 20, f"false-positive tail too fat: {fp}/2000 at fpp=1e-3"
