@@ -166,9 +166,11 @@ def decontaminate(train: DataFrame, bench: DataFrame, *, text_col: str = "text",
       m = −n·ln(fpp)/ln²2 at ``bloom_fpp``) and a map-only probe: the
       multi-TB train shingle stream never shuffles for the membership test.
       Built distributed (per-partition numpy bitmaps via mapInArrow,
-      OR-reduced on the driver — one bounded plan-time job, the fit-state
-      pattern), probed by a vectorized Arrow kernel against the broadcast
-      bitmap. ONE-SIDED error: every truly-shared shingle hits (missed
+      OR-reduced on the driver — TWO bounded plan-time jobs, a sizing
+      count then the bitmap build, the fit-state pattern and a documented
+      exception to the plan-construction-runs-no-jobs rule like
+      interval_join's auto mode), probed by a vectorized Arrow kernel
+      against the broadcast bitmap. ONE-SIDED error: every truly-shared shingle hits (missed
       contamination is impossible — the error that matters), a false
       positive can only over-flag at ≤ ``bloom_fpp`` per probe, further
       damped by ``min_shared`` > 1 (FP hits are independent).
@@ -237,10 +239,15 @@ def _bloom_build(hashed: DataFrame, *, fpp: float):
     def build(batches):
         bits = np.zeros(n_bytes, dtype=np.uint8)
         for batch in batches:
-            h = batch.column(0).to_numpy(zero_copy_only=False)
-            h = h[~np.isnan(h)] if h.dtype.kind == "f" else h
-            pos = _bloom_positions(np.asarray(h, dtype=np.int64),
-                                   n_bits, n_hashes)
+            col = batch.column(0)
+            # NEVER to_numpy a nullable int64 hash column directly: one null
+            # makes Arrow fall back to float64 and xxhash64 values beyond
+            # 2^53 lose bits — every position in the batch would corrupt.
+            # fill_null keeps the int64 buffer; the validity mask drops the
+            # filled rows.
+            h = np.asarray(col.fill_null(0))
+            valid = np.asarray(col.is_valid())
+            pos = _bloom_positions(h[valid], n_bits, n_hashes)
             np.bitwise_or.at(bits, pos >> 3,
                              np.uint8(1) << (pos & 7).astype(np.uint8))
         yield pa.RecordBatch.from_arrays(
@@ -272,13 +279,15 @@ def _bloom_probe(df: DataFrame, bloom_state) -> DataFrame:
     def probe(batches):
         bits = bits_bc.value
         for batch in batches:
-            h = batch.column(batch.schema.get_field_index("h")) \
-                .to_numpy(zero_copy_only=False)
-            valid = ~np.isnan(h) if h.dtype.kind == "f" else np.ones(len(h), bool)
+            col = batch.column(batch.schema.get_field_index("h"))
+            # see build(): fill_null keeps int64 (a float64 fallback would
+            # corrupt >2^53 hash values for the WHOLE batch); null h rows
+            # stay hit=False via the validity mask
+            h = np.asarray(col.fill_null(0))
+            valid = np.asarray(col.is_valid())
             hit = np.zeros(len(h), dtype=bool)
             if valid.any():
-                pos = _bloom_positions(
-                    np.asarray(h[valid], dtype=np.int64), n_bits, n_hashes)
+                pos = _bloom_positions(h[valid], n_bits, n_hashes)
                 probes = (bits[pos >> 3]
                           & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
                 hit[valid] = probes.all(axis=1)

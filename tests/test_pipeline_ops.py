@@ -856,3 +856,19 @@ def test_bloom_build_probe_kernel_properties(spark):
     assert got.hit[:1000].all(), "a planted member missed (impossible)"
     fp = int(got.hit[1000:].sum())
     assert fp <= 20, f"false-positive tail too fat: {fp}/2000 at fpp=1e-3"
+
+    # full-64-bit hashes + a null in the SAME batch: one null must not
+    # demote the int64 column to float64 (which silently corrupts hash
+    # values beyond 2^53 for the whole batch -> false negatives)
+    big = np.array([(1 << 62) + 12345, (1 << 63) - 99, -(1 << 62) - 7],
+                   dtype=np.int64)
+    members2 = spark.createDataFrame(pd.DataFrame({"h": big}))
+    state2 = _bloom_build(members2, fpp=1e-3)
+    probe2 = spark.createDataFrame(
+        pd.DataFrame({"id": range(4),
+                      "h": pd.array([int(big[0]), int(big[1]), int(big[2]),
+                                     None], dtype="Int64")})
+    ).coalesce(1)
+    got2 = _bloom_probe(probe2, state2).toPandas().sort_values("id")
+    assert got2.hit[:3].all(), "64-bit member missed in a null-bearing batch"
+    assert not got2.hit[3], "null hash must never hit"
