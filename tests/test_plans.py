@@ -177,3 +177,27 @@ def test_aqe_skew_join_split_engages(spark):
     assert without <= n_shuffle, (without, n_shuffle)
     assert with_split > n_shuffle, (
         f"skew join did not split: {with_split} tasks <= {n_shuffle} partitions")
+
+
+def test_bloom_decontaminate_plan_has_no_join(spark, sf_dir):
+    """The bloom method's scale claim is structural: the train shingle
+    stream takes NO join (membership is a map-only Arrow probe against
+    broadcast state); the only exchange left is the per-doc count agg.
+    The broadcast method, by contrast, must show a join."""
+    from ficaria_spark import datagen
+    from ficaria_spark.operators.dedup import decontaminate
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 17 != 0")
+    bench = docs.where("doc_id % 17 = 0")
+
+    bloom_plan = decontaminate(
+        train, bench, k=3, min_shared=2, method="bloom",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in bloom_plan
+    assert "MapInArrow" in bloom_plan
+
+    bcast_plan = decontaminate(
+        train, bench, k=3, min_shared=2,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan
