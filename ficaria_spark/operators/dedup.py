@@ -37,6 +37,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Returns the group table (content_hash, keep_id, n_copies); join back on
     keep_id for the surviving rows. Digest-only shuffle.
+
+    Normalization is ``lower`` + whitespace collapse — engine-portable with
+    the one pinned ``lower('İ')`` (U+0130) divergence noted on
+    :func:`ficaria_spark.operators.text.fingerprint`.
     """
     t = F.col(text_col)
     if normalize:

@@ -217,7 +217,11 @@ def redact_pii(df: DataFrame, text_col: str = "text", *,
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "doc_fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of the case/whitespace-
-    normalized text. Engine-portable (same value in any SQL engine)."""
+    normalized text. Engine-portable (same value in any SQL engine) with
+    ONE pinned exception: ``lower()`` of the Turkish dotted capital İ
+    (U+0130) differs across unicode libraries (Java expands to
+    ``i`` + U+0307; utf8proc/DuckDB maps to plain ``i``), so fingerprints
+    of İ-bearing docs are engine-local (test_text_hardening pins this)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(norm))
 

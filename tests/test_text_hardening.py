@@ -164,3 +164,59 @@ def test_gate_green_with_empty_docs(spark, sf_dir, tmp_path):
             os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = prev
         shutil.rmtree(aug, ignore_errors=True)
     assert failures == []
+
+
+UNICODE_TEXTS = [
+    "héllo wörld straße café",      # latin accents + ß
+    "日本語のテキスト", # CJK, no spaces
+    "emoji \U0001f600 test \U0001f680 rocket",          # astral plane
+    "nbsp separated words here",              # U+00A0 is NOT \s
+    "tab\tand\nnewline  mix",
+    "İstanbul Iı case edge",                  # Turkish dotted I
+]
+
+
+def test_unicode_text_parity_spark_vs_duckdb(spark):
+    """Cross-engine pins for non-ASCII corpora: word counting (\\s+ split +
+    empty filter), char length (code points), digit ratio, and the md5
+    fingerprint (lower + whitespace normalization) must agree between Java
+    regex/UTF8String semantics and DuckDB's RE2/UTF-8 semantics — the exact
+    expression pairs the text_stats/doc_fingerprint oracles rely on."""
+    pdf = pd.DataFrame({"doc_id": range(len(UNICODE_TEXTS)),
+                        "text": UNICODE_TEXTS})
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = (tx.quality_features(sdf)
+           .withColumn("tc", tx.token_count("text"))
+           .select("doc_id", "n_chars_q", "n_words", "tc",
+                   F.round("digit_ratio", 6).alias("digit_ratio"))
+           .orderBy("doc_id").toPandas())
+    fp = tx.fingerprint(sdf).orderBy("doc_id").toPandas()
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x != '')) AS n_words,
+               round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / cast(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM docs ORDER BY doc_id""").df()
+
+    assert got.n_chars_q.tolist() == want.n_chars.tolist()
+    assert got.n_words.tolist() == want.n_words.tolist()
+    assert got.tc.tolist() == want.n_words.tolist()
+    assert got.digit_ratio.tolist() == want.digit_ratio.tolist()
+    # fingerprints agree for every doc EXCEPT the Turkish dotted capital İ
+    # (U+0130): Java's toLowerCase expands it to 'i' + U+0307 combining dot
+    # (two code points) while DuckDB's utf8proc maps it to plain 'i' — a
+    # REAL, known cross-engine divergence of lower(), pinned here so it
+    # can't silently bite an oracle on a corpus containing İ (documented in
+    # operators/text.fingerprint and dedup.exact_dedup)
+    assert fp.doc_fingerprint.tolist()[:5] == want.fp.tolist()[:5]
+    assert fp.doc_fingerprint[5] != want.fp[5]
+    # the NBSP doc proves \s does NOT split U+00A0 in either engine
+    assert got.n_words[3] == 2
