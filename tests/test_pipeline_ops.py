@@ -872,3 +872,26 @@ def test_bloom_build_probe_kernel_properties(spark):
     got2 = _bloom_probe(probe2, state2).toPandas().sort_values("id")
     assert got2.hit[:3].all(), "64-bit member missed in a null-bearing batch"
     assert not got2.hit[3], "null hash must never hit"
+
+
+def test_nan_component_vectors_excluded_consistently(spark):
+    """A NaN COMPONENT (not just a zero norm) must keep a vector out of
+    every similarity path — its norm is NaN, so the r4 isfinite guards
+    cover it; this pin keeps that true."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    M = [list(base), list(base + 0.001),
+         list(rng.normal(size=16)), list(rng.normal(size=16))]
+    M[3][7] = float("nan")
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(4), "embedding": M}))
+
+    ex = dd.embedding_near_pairs(sdf, threshold=0.9, exact=True).toPandas()
+    assert 3 not in set(ex.id_a) | set(ex.id_b)
+    assert not ex.cosine.isna().any()
+
+    for out in (sim.cosine_topk_blocked(sdf, k=2, nb=2).toPandas(),
+                sim.lsh_ann_topk(sdf, dim=16, k=2, n_planes=2,
+                                 n_tables=2).toPandas()):
+        assert 3 not in set(out.query_id) | set(out.neighbor_id)
+        assert not out.cosine.isna().any()
