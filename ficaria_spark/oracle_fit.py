@@ -893,19 +893,6 @@ def dedup_clusters_expected(sf_dir: str) -> tuple:
     return tuple(sorted((i, comp_min[find(i)]) for i in ids))
 
 
-def clusters_oracle_sql(rows) -> str:
-    if not rows:
-        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
-                "CAST(NULL AS BIGINT) AS cluster_rep WHERE FALSE")
-    vals = ",\n    ".join(f"({i}, {r})" for i, r in rows)
-    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(cluster_rep AS BIGINT) AS cluster_rep
-FROM (VALUES
-    {vals}
-) AS t(doc_id, cluster_rep)
-"""
-
-
 def clusters_both_oracle_sql(rows) -> str:
     """Twin for the folded dedup_clusters query: min-label propagation and
     large-star/small-star contraction must resolve the SAME components, so
@@ -962,6 +949,11 @@ def media_features_expected(n: int = 32, seed: int = 6):
 
 
 def media_oracle_sql(rows, *, nd: int = 6) -> str:
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS item_id, "
+                "CAST(NULL AS VARCHAR) AS kind, "
+                "CAST(NULL AS VARCHAR) AS feature, "
+                "CAST(NULL AS DOUBLE) AS value WHERE FALSE")
     vals = ",\n    ".join(
         f"({i}, '{k}', '{f}', {_lit(v)})" for i, k, f, v in rows)
     return f"""SELECT CAST(item_id AS BIGINT) AS item_id, kind, feature,

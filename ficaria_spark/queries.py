@@ -632,7 +632,11 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     qkeep = quality_score(train).where("quality_keep").select("doc_id")
     repk = (repetition_features(train)
             .where(F.col("dup_word_frac") <= _REP_GATE).select("doc_id"))
-    pii_counts = [f"pii_{k}_count" for k in ("email", "ssn", "phone", "ipv4")]
+    # kind list derived from PII_PATTERNS — the same source of truth that
+    # generates the DuckDB side (_pii_total_sql), so adding a pattern can
+    # never desynchronize the two gates (review r5)
+    from ficaria_spark.operators.text import PII_PATTERNS
+    pii_counts = [f"pii_{kind}_count" for kind, _, _ in PII_PATTERNS]
     piik = (redact_pii(train, with_counts=True)
             .where(sum(F.col(c) for c in pii_counts) == 0).select("doc_id"))
     surv = (
@@ -1273,15 +1277,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _pii_patterns():
+    from ficaria_spark.operators.text import PII_PATTERNS
+
+    return PII_PATTERNS
+
+
 def _pii_redact_sql(col: str) -> str:
     """DuckDB redaction chain generated from the SAME ``PII_PATTERNS`` table
     the Spark operator uses — one source of truth for both engines. The
     patterns are RE2/Java-portable by construction (tests pin dialect
     equivalence on a planted-span corpus)."""
-    from ficaria_spark.operators.text import PII_PATTERNS
-
     out = col
-    for _, pat, token in PII_PATTERNS:
+    for _, pat, token in _pii_patterns():
         out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
     return out
 
@@ -1381,7 +1389,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dup_kgram_frac"), 6).alias("dup_kgram_frac"),
         F.round(F.col("quality_score"), 6).alias("quality_score"),
         "quality_keep",
-        "pii_email_count", "pii_ssn_count", "pii_phone_count", "pii_ipv4_count",
+        # derived from PII_PATTERNS like the oracle's _pii_count_sql — one
+        # source of truth for both engines (review r5)
+        *[f"pii_{kind}_count" for kind, _, _ in _pii_patterns()],
         F.length("text_redacted").alias("redacted_len"),
     )
 

@@ -41,7 +41,13 @@ def streaming_exact_dedup(docs: DataFrame, *, text_col: str = "text",
 
 def streaming_fingerprint_tag(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Stateless enrichment: content digest + whitespace token count.
-    Composable with any stream (no state, no watermark needed)."""
+    Composable with any stream (no state, no watermark needed).
+
+    The token count IS :func:`operators.text.token_count` — one expression
+    for batch and stream, so the empty-doc semantics (0 tokens, not 1)
+    cannot diverge between the two faces (review r5)."""
+    from ficaria_spark.operators.text import token_count
+
     return docs.withColumn("content_hash", content_digest(text_col)).withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        "n_tokens", token_count(text_col)
     )

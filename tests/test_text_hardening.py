@@ -150,6 +150,9 @@ def test_gate_green_with_empty_docs(spark, sf_dir, tmp_path):
     all_docs = pd.concat([docs, extra], ignore_index=True)
     all_docs.to_parquet(aug / "documents.parquet", index=False)
 
+    # run_gate SETS this env var internally (check_oracle.py:43, the
+    # fit-twin oracles follow it) — restore it so later gate tests in the
+    # same session see the real sf_dir again
     prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
     try:
         failures = co.run_gate(
