@@ -128,15 +128,25 @@ def repetition_features(df: DataFrame, text_col: str = "text",
 
     Degenerate (empty / whitespace-only) docs score 0 on both signals: empty
     edge tokens from ``split`` are filtered out before counting, and the
-    zero-word division is guarded (ANSI mode throws on ``/ 0``)."""
+    zero-word division is guarded (ANSI mode throws on ``/ 0``).
+
+    The k-grams are joined to STRINGS before ``array_distinct`` — injective
+    (words contain no whitespace), and load-bearing for scale:
+    ``array_distinct`` over array-of-arrays has no hashable element type
+    and falls back to O(n²) pairwise equality (measured: one 100k-word doc
+    took 110 s — ×4 per doc-size doubling — vs ~1 s with the string form,
+    whose string hash set is O(n))."""
     base = df.withColumn(
         "__rw", F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit("")))
     n_words = F.size("__rw")
-    idx = F.sequence(F.lit(1), F.greatest(n_words - F.lit(kgram - 1), F.lit(1)))
+    idx = F.sequence(F.lit(1), n_words - F.lit(kgram - 1))
     base = base.withColumn(
         "__rg",
-        F.filter(F.transform(idx, lambda i: F.slice(F.col("__rw"), i, kgram)),
-                 lambda g: F.size(g) == kgram))
+        F.when(
+            n_words >= kgram,
+            F.transform(idx, lambda i: F.array_join(
+                F.slice(F.col("__rw"), i, kgram), " ")),
+        ).otherwise(F.array().cast("array<string>")))
     n_grams = F.size("__rg")
     dup_word = F.when(
         n_words > 0,

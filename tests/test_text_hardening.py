@@ -223,3 +223,39 @@ def test_unicode_text_parity_spark_vs_duckdb(spark):
     assert fp.doc_fingerprint[5] != want.fp[5]
     # the NBSP doc proves \s does NOT split U+00A0 in either engine
     assert got.n_words[3] == 2
+
+
+def test_pathological_giant_doc_stays_linear(spark):
+    """One 100k-word document through the hot text/dedup expressions — the
+    measured O(words²) HOF pitfalls (re-evaluated inline arrays) would turn
+    this into minutes; the materialized-array forms finish in seconds. Also
+    guards per-doc memory: a giant doc must not blow a task."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(5000)]
+    giant = " ".join(rng.choice(vocab, size=100_000))
+    small = "a modest document with a handful of words"
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [giant, small]})
+    sdf = spark.createDataFrame(pdf)
+
+    t0 = time.time()
+    stats = tx.repetition_features(tx.quality_score(sdf)) \
+        .select("doc_id", "n_words", "dup_word_frac").orderBy("doc_id").toPandas()
+    fps = tx.rolling_fingerprints(sdf, window=5, algo="xxhash64") \
+        .select("doc_id", F.size("shingle_fps").alias("n")).orderBy("doc_id").toPandas()
+    from ficaria_spark.operators.dedup import minhash_signatures, simhash
+
+    sigs = minhash_signatures(sdf, k=3, num_hashes=32).orderBy("id").toPandas()
+    sh = simhash(sdf).orderBy("id").toPandas()
+    wall = time.time() - t0
+
+    assert stats.n_words[0] == 100_000
+    assert fps.n[0] == 100_000 - 5 + 1
+    assert len(sigs.signature[0]) == 32 and sh.simhash.notna().all()
+    # generous bound: the quadratic regressions measured 150x slower — they
+    # fail this by an order of magnitude even on a stolen-host day
+    assert wall < 120, f"giant-doc pipeline took {wall:.0f}s — quadratic regression?"
