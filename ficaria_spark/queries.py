@@ -487,8 +487,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # repetition-gate threshold for the composed pipeline: picked against the
-# corpus dup_word_frac distribution (median ≈ 0.54, p90 ≈ 0.68) so the gate
-# genuinely drops the most repetitive ~10-15% of docs at every test scale
+# sf0.01 corpus dup_word_frac distribution (median ≈ 0.54, p90 ≈ 0.68) so
+# the gate genuinely drops the most repetitive docs. NOTE the synthetic
+# corpus's dup_word_frac GROWS with doc length (small fixed vocab), so the
+# drop rate is scale-dependent (~15% at sf0.01, most docs at sf0.1) — the
+# oracle twin keeps the comparison exact at every scale regardless; a real
+# corpus would tune this like any Gopher-style threshold
 _REP_GATE = 0.65
 
 
