@@ -57,14 +57,22 @@ HEADLINE = [
     "range_join_weeks",
     "ann_ivf",
     "cms_token_counts",
-    # round 5: the folded cluster-resolution query runs BOTH algorithms
-    # (min-label propagation AND large-star/small-star) from one persisted
-    # pair relation — its wall is NOT comparable to r04's
-    # dedup_clusters_star (star only); media_features adds the multimodal
-    # family (real netpbm/WAV codecs) to the timed surface
-    "dedup_clusters",
+    # round 6 (VERDICT r5 #5): the headline tracks the star-only PRODUCTION
+    # path of cluster resolution (pairs → large-star/small-star, the 100×
+    # plan). The registered `dedup_clusters` gate query deliberately runs
+    # BOTH CC algorithms for cross-checking and reports ~2× the production
+    # cost — it stays in the driver gate, not in the headline. This slot's
+    # wall is comparable to r04's dedup_clusters_star, NOT to r05's folded
+    # dedup_clusters.
+    "dedup_clusters_star_only",
     "media_features",
 ]
+
+# bench-only callables (not in the driver's 50-query registry)
+def _bench_extra():
+    from ficaria_spark.queries import dedup_clusters_star_bench
+
+    return {"dedup_clusters_star_only": dedup_clusters_star_bench}
 
 
 def _sf_of(path: str) -> float:
@@ -95,6 +103,46 @@ def calibration_probe(reps: int = 3) -> float:
         sink = int(y.sum(dtype=np.uint64))  # defeat dead-code elimination
         best = min(best, time.perf_counter() - t0)
     assert sink >= 0
+    return round(best, 4)
+
+
+def memory_probe(reps: int = 3) -> float:
+    """Host-regime marker #2 (VERDICT r5 #1): a multi-threaded STREAM-triad
+    kernel (a = b + s·c over ~128 MB of float64, one private slice per
+    thread, all cores concurrently). The single-thread xorshift probe above
+    is cache-resident — it sees CPU-frequency steal but is BLIND to the
+    DRAM-bandwidth/steal asymmetry that drifted r5's multi-core walls +16%
+    while the CPU probe stayed flat (BENCH/BASELINE.md). This kernel is
+    bandwidth-bound by construction (working set ≫ L3, ~4 streamed bytes per
+    FLOP), so its wall moves with exactly the regime component the CPU probe
+    misses. Returns min-of-reps seconds (~0.1–0.3 s)."""
+    import threading
+
+    import numpy as np
+
+    nthreads = min(os.cpu_count() or 8, 32)
+    # ~128 MB total across all threads' (a, b, c) triples — far over L3
+    n = (128 * 2**20) // (24 * nthreads)
+    iters = 24
+    arrs = [(np.zeros(n), np.random.default_rng(i).random(n),
+             np.random.default_rng(i + 97).random(n)) for i in range(nthreads)]
+
+    def triad(a, b, c):
+        s = 3.0
+        for _ in range(iters):
+            np.multiply(c, s, out=a)  # a = s·c   (read c, write a)
+            a += b                    # a += b    (read a+b, write a)
+
+    best = float("inf")
+    for _ in range(reps):
+        threads = [threading.Thread(target=triad, args=t) for t in arrs]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        best = min(best, time.perf_counter() - t0)
+    assert all(np.isfinite(a[0]) for a, _, _ in arrs)
     return round(best, 4)
 
 
@@ -130,23 +178,25 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     if cpus is not None:
         os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     spark = get_spark("ficaria-bench")
-    names = [n for n in HEADLINE if n in QUERIES]
+    catalog = {**QUERIES, **_bench_extra()}
+    names = [n for n in HEADLINE if n in catalog]
 
     # warmup at the smallest scale: JVM JIT + Python worker pool spin-up
     for n in names:
-        QUERIES[n](spark, "/root/testdata/sf0.001").count()
+        catalog[n](spark, "/root/testdata/sf0.001").count()
 
     # interleaved repetitions, min wall per query: host steal on this sandbox
     # varies ±2× over minutes, so a single shot confounds code changes with
     # noise. value = Σ per-query min (the noise-robust suite time).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     probe_before = calibration_probe()
+    mem_probe_before = memory_probe()
     per_query: dict[str, float] = {}
     total_rows = 0
     for rep in range(reps):
         for n in names:
             t0 = time.perf_counter()
-            rows = QUERIES[n](spark, sf_dir).count()
+            rows = catalog[n](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
             if n not in per_query or dt < per_query[n]:
                 per_query[n] = dt
@@ -159,6 +209,8 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
     total = sum(per_query.values())
     probe_after = calibration_probe()
     probe = min(probe_before, probe_after)
+    mem_probe_after = memory_probe()
+    mem_probe = min(mem_probe_before, mem_probe_after)
     return {
         # impute_dt cost model (VERDICT r4 #4): refinement work is
         # Σ_leaf O(leaf² · max_clusters) per (sweep, column) — the leaf-size
@@ -166,7 +218,7 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
         # predict cost (leaves are bounded by 2·min_samples_leaf−1 except
         # degenerate leaves; see FCMDTIterativeImputer docstring)
         "impute_dt_leaves": dt_leaf_stats(spark, sf_dir),
-        "metric": "headline-suite wall time (25 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup+clusters (both algorithms), ANN (exact+IVF), rollup, range join, CMS, text+PII, multimodal; min of interleaved reps)",
+        "metric": "headline-suite wall time (25 queries: flagship pipelines (temporal + tokens), temporal kernel, slide, asof, relational, tokens+packing, FCM/FCKI impute, dedup+clusters (star-only production path), ANN (exact+IVF), rollup, range join, CMS, text+PII, multimodal; min of interleaved reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
@@ -184,10 +236,20 @@ def run_suite(sf_dir: str = SF_DIR, cpus: int | None = None) -> dict:
             "probe_sec_before": probe_before,
             "probe_sec_after": probe_after,
             "probe_sec": probe,
+            # VERDICT r5 #1: the multi-core DRAM-bandwidth probe — tracks
+            # the memory-steal regime component the single-thread CPU probe
+            # is blind to (r5's +16% drift on untouched queries). Compare
+            # queries_normalized_mem across rounds for multi-core walls.
+            "mem_probe_sec_before": mem_probe_before,
+            "mem_probe_sec_after": mem_probe_after,
+            "mem_probe_sec": mem_probe,
         },
         "queries_normalized": {n: round(t / probe, 2)
                                for n, t in per_query.items()},
         "value_normalized": round(total / probe, 2),
+        "queries_normalized_mem": {n: round(t / mem_probe, 2)
+                                   for n, t in per_query.items()},
+        "value_normalized_mem": round(total / mem_probe, 2),
     }
 
 

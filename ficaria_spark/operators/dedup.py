@@ -257,13 +257,15 @@ def _bloom_build(hashed: DataFrame, *, fpp: float):
         yield pa.RecordBatch.from_arrays(
             [pa.array([bits.tobytes()], type=pa.binary())], names=["bm"])
 
-    # ≤ 256 partials keeps the driver OR bounded regardless of input size
+    # ≤ 256 partials keeps the partial COUNT bounded regardless of input
+    # size; the OR-reduce streams one partial at a time (toLocalIterator)
+    # so peak driver memory is 2 bitmaps, not 256 — at fpp=1e-4 over 100M
+    # items one bitmap is ~240 MB, and a collect() would need ~60 GB
     src = hashed.where(F.col("h").isNotNull())
     if src.rdd.getNumPartitions() > 256:
         src = src.repartition(256)
-    partials = src.mapInArrow(build, "bm binary").collect()
     acc = np.zeros(n_bytes, dtype=np.uint8)
-    for row in partials:
+    for row in src.mapInArrow(build, "bm binary").toLocalIterator():
         acc |= np.frombuffer(row["bm"], dtype=np.uint8)
     sc = hashed.sparkSession.sparkContext
     return sc.broadcast(acc), n_bits, n_hashes
@@ -299,7 +301,9 @@ def _bloom_probe(df: DataFrame, bloom_state) -> DataFrame:
                 [*batch.columns, pa.array(hit)],
                 names=[*batch.schema.names, "hit"])
 
-    return df.mapInArrow(probe, schema_out.simpleString()[7:-1])
+    # pass the StructType itself — a simpleString round-trip drops
+    # nullability/metadata and breaks on names needing backtick quoting
+    return df.mapInArrow(probe, schema_out)
 
 
 # ---------------------------------------------------------------------------

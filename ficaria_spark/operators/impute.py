@@ -544,6 +544,15 @@ class FCMKIterativeImputer(_ImputerBase):
         self._check_transform_cols(df)
         cols = self.feature_names_in_
         same_as_fit = df is getattr(self, "_fit_df_", None)
+        # one-shot proof: release the fit frame after the first transform —
+        # (a) a DataFrame is lazy, so if the underlying SOURCE gained rows
+        # between fit and a LATER transform the same object would re-evaluate
+        # larger and an oversized cluster could reach the single-bucket
+        # kernel unsized (the fit_transform flow the skip exists for runs
+        # back-to-back, where the static-source assumption holds); (b) keeping
+        # the reference would pin the fit DataFrame's lineage for the
+        # imputer's lifetime
+        self._fit_df_ = None
         df = self._cast_features(df)
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast({
@@ -627,6 +636,13 @@ class FCMKIterativeImputer(_ImputerBase):
             # no persist. (Fit-time CLUSTER sizes alone would not be a proof
             # — the transform frame can be arbitrarily larger than the
             # capped fit sample.)
+            # STATIC-SOURCE ASSUMPTION (ADVICE r5): the proof counts rows at
+            # fit time but the frame is lazy — it holds only if the
+            # underlying source did not gain rows between fit and transform.
+            # transform() therefore consumes `_fit_df_` (cleared on first
+            # use), restricting the skip to the back-to-back fit→transform
+            # flow the reference's fit_transform mandates; any later
+            # transform call re-runs the sizing job.
             return tagged, ["__cluster"]
         bucket_rows = self.bucket_size or self.AUTO_BUCKET_ROWS
         # persist BEFORE the sizing count so the per-row FCM tagging runs

@@ -195,7 +195,9 @@ def resize_images(
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-emit raw bytes + updated meta.
     Demonstrates the binary-in/binary-out stage shape."""
-    schema = df.schema.simpleString()[7:-1]
+    # same schema out as in — pass the StructType itself (a simpleString
+    # round-trip drops nullability/metadata and breaks on quoted names)
+    schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         th, tw = target

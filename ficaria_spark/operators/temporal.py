@@ -248,9 +248,15 @@ def asof_join_cogroup(
     import numpy as np
     import pandas as pd
 
-    out_schema = left.schema.simpleString()[7:-1] + "," + ",".join(
-        f"{c}{suffix}:{right.schema[c].dataType.simpleString()}" for c in value_cols
-    )
+    from pyspark.sql import types as T
+
+    # build the output StructType from COPIED field lists (StructType.add
+    # would mutate the live schema; a simpleString round-trip drops
+    # nullability and breaks on names needing backtick quoting)
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f"{c}{suffix}", right.schema[c].dataType, True)
+           for c in value_cols])
     out_names = [f.name for f in left.schema.fields] + [
         f"{c}{suffix}" for c in value_cols]
     out_cols = [f"{c}{suffix}" for c in value_cols]

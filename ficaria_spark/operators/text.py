@@ -54,7 +54,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``n_words = 0`` and every ratio ``0.0``. All divisors are guarded with
     ``greatest(_, 1)`` — Spark 4 runs ANSI mode by default, where a plain
     ``x / 0`` THROWS and one empty doc in a 100-TB corpus would kill the
-    stage."""
+    stage.
+
+    .. warning:: **English-centric heuristics.** ``stopword_ratio`` uses the
+       English stopword list only and ``upper_ratio`` counts ASCII ``A-Z`` —
+       non-English documents score near-zero stopword ratio regardless of
+       quality, and :func:`quality_score` then penalizes them (its stopword
+       term floors the score at 0.5×). On a multilingual corpus, first run
+       :func:`lang_id` and select the stopword list per detected language
+       (``_STOPWORDS[lang]`` is the extension seam — the table already
+       carries en/de/fr/es), or exclude the stopword term from the composite.
+       The heuristic scope is deliberate here: the DuckDB oracle twin mirrors
+       the same English list, so the parity contract pins the behavior."""
     t = F.col(text_col)
     words = word_tokens(t)
     n_chars = F.length(t)
@@ -91,7 +102,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text",
                   *, min_words: int = 5, max_mean_word_len: float = 12.0) -> DataFrame:
     """Composite [0,1] quality score + keep flag (heuristics in the spirit of
-    C4/Gopher text-quality filters)."""
+    C4/Gopher text-quality filters).
+
+    .. warning:: Inherits :func:`quality_features`' English-centric
+       ``stopword_ratio`` — a fluent non-English doc lands at ~0.5× score
+       from the stopword term alone. Gate on :func:`lang_id` first (or swap
+       in a per-language stopword list) before shipping this on a
+       multilingual corpus."""
     q = quality_features(df, text_col)
     score = (
         F.when(F.col("n_words") < min_words, 0.0).otherwise(1.0)

@@ -1131,6 +1131,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "doc_id")
 
 
+def dedup_clusters_star_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (NOT in the driver registry — VERDICT r5 #5): the star-only
+    production path of cluster resolution. The gate query above deliberately
+    runs BOTH CC algorithms to cross-check them, which doubles its wall; the
+    100× plan is pairs → large-star/small-star alone, and this is the shape
+    the headline bench should track."""
+    from ficaria_spark.operators.dedup import (
+        dedup_clusters_star, minhash_dedup_pairs)
+
+    docs = datagen.load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, k=3, num_hashes=64, bands=16, threshold=0.5, engine="arrow")
+    return dedup_clusters_star(pairs)
+
+
 @register("media_features")
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal driver-gate row (VERDICT r4 #1): the deterministic

@@ -72,10 +72,10 @@ def test_latest_correctness_covers_registry(contract):
     import re
     from pathlib import Path
 
-    # round 5: media_features replaced dedup_clusters_star in the window
-    # (star folded into dedup_clusters); clear at round end once
-    # CORRECTNESS_r05.json exists
-    NEW_SINCE_LAST_ROUND: set[str] = {"media_features"}
+    # round 6: empty — every registered query has a hash-green row in
+    # CORRECTNESS_r05.json; add names here ONLY for queries registered after
+    # the latest driver run, and clear again at round end
+    NEW_SINCE_LAST_ROUND: set[str] = set()
 
     root = Path(__file__).resolve().parent.parent
     files = sorted(root.glob("CORRECTNESS_r*.json"),
