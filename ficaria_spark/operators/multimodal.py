@@ -2,14 +2,14 @@
 typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
-signatures — is real and tested. Codecs: binary netpbm images (P5/P6) and
-PCM WAV audio decode FOR REAL here (numpy + stdlib ``wave``, no external
-library — see :func:`decode_netpbm` / :func:`decode_wav`, exercised
-end-to-end by ``synthetic_media_table``); compressed formats (JPEG/PNG,
-MP3/AAC, video) still dispatch to a clearly-marked ``NotImplementedError``
-seam — swap in Pillow/torchaudio/PyAV on a real cluster; nothing else
-changes. A deterministic fake codec remains for payload-agnostic plumbing
-tests.
+signatures — is real and tested. Codecs: binary netpbm images (P5/P6),
+8-bit PNG (stdlib ``zlib`` inflate + numpy unfiltering — see
+:func:`decode_png`), and PCM WAV audio decode FOR REAL here (no external
+library; all exercised end-to-end by ``synthetic_media_table``); the
+remaining compressed formats (JPEG, MP3/AAC, video) still dispatch to a
+clearly-marked ``NotImplementedError`` seam — swap in Pillow/torchaudio/
+PyAV on a real cluster; nothing else changes. A deterministic fake codec
+remains for payload-agnostic plumbing tests.
 
 Scale notes: binary payloads dominate I/O — keep them in their own column so
 column pruning skips them unless the stage needs bytes; repartition by size
@@ -120,15 +120,166 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x.reshape(-1, nch), rate
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: color type → sample count (8-bit depth; palette type 3 not supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int32 inputs."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with the stdlib alone — chunk walk + CRC check,
+    ``zlib`` inflate of the IDAT stream, and the five scanline filter types
+    (None/Sub/Up/Average/Paeth) unfiltered in numpy. Public-knowledge format
+    (RFC 2083 / PNG spec); no Pillow. Returns (height, width, channels)
+    uint8.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), no interlace. Palette (type 3), 16-bit, and Adam7 raise —
+    they're rare in training corpora and a real cluster swaps in Pillow at
+    the same dispatch seam.
+
+    Filters None/Sub/Up reconstruct fully vectorized (Sub is a per-lane
+    cumulative sum mod 256); Average/Paeth carry an intra-row dependency on
+    the reconstructed left pixel, so those rows fall back to a per-byte loop
+    — correctness first; the synthetic gate images are small and a
+    production corpus would use a C codec behind this seam anyway."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad magic)")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color} not supported "
+            "(8-bit gray/RGB/GA/RGBA only; plug Pillow here for the rest)")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError("PNG Adam7/nonzero method not supported")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, lines = scan[:, 0], scan[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        prev = recon[y - 1] if y else zero_row
+        if f == 0:
+            recon[y] = line
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256 (uint8 wraps)
+            recon[y] = np.cumsum(
+                line.reshape(-1, ch), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            recon[y] = line + prev  # uint8 add wraps mod 256 by design
+        elif f == 3:  # Average: left is RECONSTRUCTED → sequential in x
+            r = recon[y]
+            li, pi = line.astype(np.int32), prev.astype(np.int32)
+            for i in range(stride):
+                left = int(r[i - ch]) if i >= ch else 0
+                r[i] = (li[i] + ((left + pi[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: same intra-row dependency
+            r = recon[y]
+            li, pi = line.astype(np.int32), prev.astype(np.int32)
+            for i in range(stride):
+                a = int(r[i - ch]) if i >= ch else 0
+                c = int(pi[i - ch]) if i >= ch else 0
+                b = int(pi[i])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[i] = (li[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} is invalid")
+    return recon.reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Inverse of :func:`decode_png` (stdlib ``zlib`` deflate): uint8
+    (h, w, 1|2|3|4) or 2-D gray → 8-bit PNG bytes. ``filter_type`` selects
+    the scanline filter (0–4) applied to EVERY row — encoding filters from
+    the original bytes has no sequential dependency, so all five vectorize;
+    tests use this to exercise every decode unfilter path."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"PNG supports 1/2/3/4 channels, got {ch}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"PNG filter type must be 0-4, got {filter_type}")
+    px = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * ch)
+    left = np.zeros_like(px, dtype=np.int32)
+    left[:, ch:] = px[:, :-ch]
+    up = np.zeros_like(px, dtype=np.int32)
+    up[1:] = px[:-1]
+    upleft = np.zeros_like(px, dtype=np.int32)
+    upleft[1:, ch:] = px[:-1, :-ch]
+    x = px.astype(np.int32)
+    if filter_type == 0:
+        filt = x
+    elif filter_type == 1:
+        filt = x - left
+    elif filter_type == 2:
+        filt = x - up
+    elif filter_type == 3:
+        filt = x - ((left + up) >> 1)
+    else:
+        filt = x - _paeth_vec(left, up, upleft)
+    scan = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = (filt & 0xFF).astype(np.uint8)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Dispatch by magic bytes: netpbm decodes HERE with no external library;
-    compressed formats (JPEG/PNG) still need Pillow/cv2 on a real cluster."""
+    """Dispatch by magic bytes: netpbm AND PNG decode HERE with no external
+    library (see :func:`decode_png`); JPEG still needs Pillow/cv2 on a real
+    cluster."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image codec (JPEG/PNG) not available in this "
-        "environment — netpbm (P5/P6) decodes natively; plug Pillow/cv2 "
-        "here for the rest")
+        "compressed image codec (JPEG) not available in this environment — "
+        "netpbm (P5/P6) and PNG decode natively; plug Pillow/cv2 here for "
+        "the rest")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
@@ -299,10 +450,14 @@ def audio_features(
 
 def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, bytearray]]:
     """Deterministic (item_id, kind, payload) rows with REAL decodable
-    payloads — P6 PPM images and PCM-16 WAV clips built in-process. Pure
+    payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, cycling the
+    scanline filter type (i//4) % 5 so every PNG unfilter path runs inside
+    the driver gate), and PCM-16 WAV clips built in-process. Pure
     Python/numpy (no Spark) so the driver-side oracle twin
     (oracle_fit.media_features_expected) regenerates byte-identical payloads
-    from the same (n, seed)."""
+    from the same (n, seed). The rng draw order is unchanged from the
+    PPM-only generator — only the ENCODING of every other image differs, so
+    pixel-derived features are encoding-invariant."""
     import io
     import wave
 
@@ -312,7 +467,11 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
         if i % 2 == 0:
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            rows.append((i, "image", bytearray(encode_netpbm(img))))
+            if i % 4 == 2:
+                payload = encode_png(img, filter_type=(i // 4) % 5)
+            else:
+                payload = encode_netpbm(img)
+            rows.append((i, "image", bytearray(payload)))
         else:
             rate = 8000
             t = np.arange(int(rng.integers(800, 4000))) / rate

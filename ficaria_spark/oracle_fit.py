@@ -919,12 +919,13 @@ def media_features_expected(n: int = 32, seed: int = 6):
     bit-identical float64, the structural-parity pattern the FCKI/DT twins
     established."""
     from ficaria_spark.operators.multimodal import (
-        decode_netpbm, decode_wav, synthetic_media_rows)
+        _decode_image_real, decode_wav, synthetic_media_rows)
 
     out = []
     for item_id, kind, payload in synthetic_media_rows(n, seed):
         if kind == "image":
-            img = decode_netpbm(bytes(payload))
+            # dispatch-by-magic, same as the Spark kernel: PPM and PNG rows
+            img = _decode_image_real(bytes(payload))
             px = img.reshape(-1, img.shape[-1]).astype(np.float64)
             means, stds = px.mean(axis=0), px.std(axis=0)
             lum = px.mean(axis=1)

@@ -1149,8 +1149,10 @@ def dedup_clusters_star_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_features")
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal driver-gate row (VERDICT r4 #1): the deterministic
-    synthetic media table (REAL netpbm P6 images + PCM-16 WAV clips, built
-    in-plan from (n=32, seed=6)) through the REAL codecs —
+    synthetic media table (REAL netpbm P6 images, 8-bit PNGs spanning all
+    five scanline filter types (VERDICT r5 #4 — stdlib zlib + numpy
+    unfiltering, operators/multimodal.decode_png), and PCM-16 WAV clips,
+    built in-plan from (n=32, seed=6)) through the REAL codecs —
     image_features(use_fake_codec=False) and audio_features — emitted in
     long form (item_id, kind, feature, value). Oracle = driver-twin VALUES
     relation computed by oracle_fit.media_features_expected from the same

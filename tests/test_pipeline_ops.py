@@ -804,6 +804,63 @@ def test_encode_netpbm_rejects_bad_channels():
             encode_netpbm(np.zeros((3, 4, c), dtype=np.uint8))
 
 
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """VERDICT r5 #4: stdlib-zlib PNG codec. Every scanline filter type
+    (None/Sub/Up/Average/Paeth) × every supported color type (gray, GA,
+    RGB, RGBA) round-trips bit-exactly, including 1-pixel/1-row/1-col
+    edges; CRC corruption and truncated IDAT raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(img, filter_type=ft))
+            assert got.shape == img.shape and (got == img).all(), (ch, ft)
+    for shape in [(1, 1, 3), (1, 7, 1), (5, 1, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+    # 2-D gray promotes to (h, w, 1), like encode_netpbm
+    g = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    assert (decode_png(encode_png(g))[:, :, 0] == g).all()
+
+    base = encode_png(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    corrupted = bytearray(base)
+    corrupted[41] ^= 0xFF  # inside IHDR/IDAT territory → some chunk CRC breaks
+    with _pytest.raises(ValueError, match="CRC|magic|IDAT"):
+        decode_png(bytes(corrupted))
+    with _pytest.raises(ValueError, match="magic"):
+        decode_png(b"\x89PNG\r\n\x1a\x00" + base[8:])
+
+
+def test_png_rows_flow_through_media_gate_kernel(spark):
+    """The synthetic media table now carries PNG payloads (every other
+    image, all five filter types across the table) and the REAL-codec
+    image_features stage decodes them: per-row features must equal a
+    driver-side decode of the same payload — the exact parity the
+    media_features oracle twin asserts at the gate."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import (
+        _PNG_MAGIC, _decode_image_real, image_features, synthetic_media_table)
+
+    media = synthetic_media_table(spark, n=32, seed=6)
+    imgs = media.where("kind = 'image'")
+    payloads = {r.item_id: bytes(r.payload) for r in imgs.collect()}
+    png_ids = [i for i, p in payloads.items() if p[:8] == _PNG_MAGIC]
+    assert len(png_ids) == 8  # i % 4 == 2 of 32
+    feats = image_features(imgs, meta_col=None, use_fake_codec=False).toPandas()
+    for item_id in png_ids:
+        img = _decode_image_real(payloads[item_id])
+        exp = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        got = feats[feats.item_id == item_id].chan_mean.iloc[0]
+        assert np.allclose(np.asarray(got, dtype=float), exp)
+
+
 def test_decontaminate_shuffle_and_bloom_methods(spark, sf_dir):
     """The three decontaminate scale shapes agree: shuffle == broadcast
     exactly (same semantics, no broadcast hint); bloom is a SUPERSET with
