@@ -199,6 +199,13 @@ def asof_join(
         F.lit(tag_right).alias("__side"),
         r_struct.alias("__r"),
     )
+    # SQL null-join semantics (pinned, same as asof_join_cogroup): a null
+    # entity key matches NOTHING. Window.partitionBy groups nulls into one
+    # partition, so without this filter a null-key right row would leak its
+    # value to null-key left rows (found by the r6 hypothesis sweep). Left
+    # rows with null keys stay in the output with null as-of values.
+    for c in by:
+        rhs = rhs.where(F.col(c).isNotNull())
     unioned = lhs.unionByName(rhs)
     w = (
         Window.partitionBy(*by)
