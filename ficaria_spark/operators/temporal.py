@@ -368,6 +368,16 @@ def interpolate_linear(
     base = Window.partitionBy(*ent).orderBy(*[F.col(c).asc() for c in order]) if ent else (
         Window.orderBy(*[F.col(c).asc() for c in order])
     )
+    # "next non-null" is computed over the REVERSED ordering as a RUNNING
+    # last(ignorenulls), never as first() over a (1, unboundedFollowing)
+    # frame: Spark evaluates UnboundedPreceding frames incrementally (O(n)
+    # per partition) but recomputes UnboundedFollowing frames from scratch
+    # per row (O(n²)) — measured 27 s → 429 s for a 25k → 100k-row single
+    # entity before this rewrite (r6 hot-entity probe). asc NULLS FIRST
+    # reverses exactly to desc NULLS LAST (Spark's desc default), so the
+    # reversed frame sees precisely the rows strictly after the current one.
+    rev = (Window.partitionBy(*ent).orderBy(*[F.col(c).desc() for c in order])
+           if ent else Window.orderBy(*[F.col(c).desc() for c in order]))
     out = df
     if x is None:
         out = out.withColumn("__pos", F.row_number().over(base).cast("double"))
@@ -375,14 +385,14 @@ def interpolate_linear(
     else:
         xcol = x
     prev_f = base.rowsBetween(Window.unboundedPreceding, -1)
-    next_f = base.rowsBetween(1, Window.unboundedFollowing)
+    next_f = rev.rowsBetween(Window.unboundedPreceding, -1)
     for c in cols:
         xv = F.col(xcol).cast("double")
         obs_x = F.when(F.col(c).isNotNull(), xv)
         pv = F.last(c, ignorenulls=True).over(prev_f)
         px = F.last(obs_x, ignorenulls=True).over(prev_f)
-        nv = F.first(c, ignorenulls=True).over(next_f)
-        nx = F.first(obs_x, ignorenulls=True).over(next_f)
+        nv = F.last(c, ignorenulls=True).over(next_f)
+        nx = F.last(obs_x, ignorenulls=True).over(next_f)
         interp = pv + (nv - pv) * (xv - px) / (nx - px)
         filled = F.coalesce(F.col(c), interp, pv, nv)
         out = out.withColumn(c + suffix, filled)

@@ -476,3 +476,50 @@ def test_rollup_source_is_coarsest_by_rank(spark, sf_dir):
         g = got[got.level == lv]
         assert {r.b: (r.n, r.s) for r in direct.itertuples()} == \
             {r.bucket_start_us: (r.n_rows, r.sum_value) for r in g.itertuples()}, lv
+
+
+def test_hot_entity_window_ops_stay_linear(spark):
+    """VERDICT r5 #3 (hot-entity window skew): one entity's whole history
+    runs inside ONE task, so the per-entity cost of the ordered-window
+    kernels must be LINEAR in that entity's row count — quadratic behavior
+    multiplies the already-serial hot term. This exact probe caught a real
+    O(n²): interpolate_linear's next-non-null used a (1, unboundedFollowing)
+    frame, which Spark recomputes from scratch per row (25k→100k rows went
+    27 s → 429 s) — now a running last(ignorenulls) over the reversed
+    ordering. Cost curve + mitigation recipe: BENCH/BASELINE.md
+    'Hot-entity window skew'; sweep tool: tools/probe_hot_entity.py."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ficaria_spark.operators.temporal import (
+        interpolate_linear, pit_backfill, sessionize)
+    from tools.probe_hot_entity import build
+
+    ops = {
+        "pit_backfill": lambda d: pit_backfill(
+            d, "entity_id", "ts", ["f_value"], tiebreak=["event_id"]
+        ).agg(F.sum("f_value_filled")),
+        "sessionize": lambda d: sessionize(
+            d, "entity_id", "ts", gap_seconds=600.0, tiebreak=["event_id"]
+        ).agg(F.max("session_seq")),
+        "interpolate_linear": lambda d: interpolate_linear(
+            d, "entity_id", "ts", ["f_value"], tiebreak=["event_id"]
+        ).agg(F.sum("f_value_interp")),
+    }
+    walls: dict[str, dict[int, float]] = {k: {} for k in ops}
+    for n in (12_500, 50_000):  # 4× the single hot entity's rows
+        df = build(spark, n, 1.0).persist()
+        df.count()
+        for name, op in ops.items():
+            op(df).collect()  # warm plan/codegen for this size
+            t0 = time.perf_counter()
+            op(df).collect()
+            walls[name][n] = time.perf_counter() - t0
+        df.unpersist()
+    for name, w in walls.items():
+        ratio = w[50_000] / max(w[12_500], 1e-6)
+        # linear → ~4× (less when fixed overhead dominates); the removed
+        # quadratic measured ~14× on this exact pair. 10× splits them with
+        # wide noise margins on a steal-prone host.
+        assert ratio < 10.0, (name, w)
