@@ -42,6 +42,11 @@ FROM part
 
 FEATS = ["f0", "f1", "f2", "f3"]
 _FIT_CAP = 200_000
+#: bounded fit set for the MEMBER-STATE imputers (rough / FCKI), whose
+#: transform cost is O(n_missing × fit_members) — shared with queries.py so
+#: both engines cap identically (binds only beyond the driver-verified
+#: scales: sf0.1 has ~17k complete part rows)
+MEMBER_FIT_CAP = 20_000
 
 # deterministic feature matrix over `customer` for the selector queries —
 # twin of queries._customer_matrix
@@ -124,7 +129,8 @@ def fit_rough_state(sf_dir: str):
     from ficaria_spark.operators.impute import _rough_kmeans
 
     pdf = _part_matrix_pdf(sf_dir)
-    comp = pdf.dropna(subset=FEATS).sort_values(FEATS, kind="mergesort").head(_FIT_CAP)
+    comp = pdf.dropna(subset=FEATS).sort_values(
+        FEATS, kind="mergesort").head(MEMBER_FIT_CAP)
     X = comp[FEATS].to_numpy(dtype=np.float64)
     rids = comp["row_id"].to_numpy()
     centers0, u = fcmk.fuzzy_c_means(X, 3, m=2.0, max_iter=100, tol=1e-5, random_state=42)
@@ -191,7 +197,7 @@ def fit_fcki_state(sf_dir: str, cap_row_id: int | None = None):
     where = f"WHERE row_id <= {cap_row_id}" if cap_row_id else ""
     X = con.execute(
         f"WITH m AS ({PART_MATRIX_SQL}) SELECT {', '.join(FEATS)} FROM m "
-        f"{where} ORDER BY {order} LIMIT {_FIT_CAP}"
+        f"{where} ORDER BY {order} LIMIT {MEMBER_FIT_CAP}"
     ).df().to_numpy(dtype=np.float64)
     means = np.nanmean(X, axis=0)
     filled = np.where(np.isnan(X), means[None, :], X)

@@ -767,6 +767,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NULLs injected on arithmetic masks (engine-portable). Single source of truth
 # lives in oracle_fit (shared with the fit-twin oracle builders).
 from ficaria_spark.oracle_fit import PART_MATRIX_SQL as _PART_MATRIX_SQL  # noqa: E402
+from ficaria_spark.oracle_fit import MEMBER_FIT_CAP  # noqa: E402
 
 _IMPUTE_FEATS = ["f0", "f1", "f2", "f3"]
 
@@ -838,12 +839,25 @@ def _register_imputers():
     QUERIES["impute_fcm_parameter"] = _impute_query(
         lambda: FCMParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS),
         nd=4)
+    # MEMBER-STATE imputers get an explicit bounded fit_cap (r6 sf1 soak):
+    # their TRANSFORM cost is O(n_missing × fit_members) — rough compares
+    # each gap row to every lower/upper member, FCKI pools fit rows into
+    # every cluster's candidate set — so an uncapped fit makes the sf0.1→sf1
+    # exponent ~1.55 (measured 3.1 s → 112 s rough, 9.6 s → 321 s fcki).
+    # 20 000 exceeds every complete-row count the driver verifies
+    # (sf ≤ 0.1 has ≤ ~17k), so verified results are bit-identical; beyond
+    # that the cap bounds the broadcast state and restores linear scaling.
+    # The twins (oracle_fit.fit_rough_state / fit_fcki_state) share the
+    # constant.
     QUERIES["impute_fcm_rough"] = _impute_query(
-        lambda: FCMRoughParameterImputer(n_clusters=3, random_state=42, feature_cols=_IMPUTE_FEATS))
+        lambda: FCMRoughParameterImputer(n_clusters=3, random_state=42,
+                                         feature_cols=_IMPUTE_FEATS,
+                                         fit_cap=MEMBER_FIT_CAP))
     QUERIES["impute_fcki"] = _impute_query(
         lambda: FCMKIterativeImputer(n_clusters=3, random_state=42,
                                      feature_cols=_IMPUTE_FEATS,
-                                     order_cols=("row_id",)))
+                                     order_cols=("row_id",),
+                                     fit_cap=MEMBER_FIT_CAP))
 
     def fcki_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Bench-sized FCKI (row_id ≤ 2000): the sequential kernel's cost
