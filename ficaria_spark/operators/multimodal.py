@@ -4,12 +4,13 @@ typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
 signatures — is real and tested. Codecs: binary netpbm images (P5/P6),
 8-bit PNG (stdlib ``zlib`` inflate + numpy unfiltering — see
-:func:`decode_png`), and PCM WAV audio decode FOR REAL here (no external
+:func:`decode_png`), baseline JPEG (pure stdlib+numpy Huffman/DCT — see
+operators/jpeg.py), and PCM WAV audio decode FOR REAL here (no external
 library; all exercised end-to-end by ``synthetic_media_table``); the
-remaining compressed formats (JPEG, MP3/AAC, video) still dispatch to a
-clearly-marked ``NotImplementedError`` seam — swap in Pillow/torchaudio/
-PyAV on a real cluster; nothing else changes. A deterministic fake codec
-remains for payload-agnostic plumbing tests.
+remaining compressed formats (MP3/AAC audio, video, exotic images) still
+dispatch to a clearly-marked ``NotImplementedError`` seam — swap in
+Pillow/torchaudio/PyAV on a real cluster; nothing else changes. A
+deterministic fake codec remains for payload-agnostic plumbing tests.
 
 Scale notes: binary payloads dominate I/O — keep them in their own column so
 column pruning skips them unless the stage needs bytes; repartition by size
@@ -269,17 +270,21 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Dispatch by magic bytes: netpbm AND PNG decode HERE with no external
-    library (see :func:`decode_png`); JPEG still needs Pillow/cv2 on a real
-    cluster."""
+    """Dispatch by magic bytes: netpbm, PNG AND baseline JPEG all decode
+    HERE with no external library (see :func:`decode_png` and
+    operators/jpeg.py); the remaining image seam is exotic formats
+    (progressive JPEG, WebP/AVIF…) — plug Pillow/cv2 here for those."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ficaria_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "compressed image codec (JPEG) not available in this environment — "
-        "netpbm (P5/P6) and PNG decode natively; plug Pillow/cv2 here for "
-        "the rest")
+        "unrecognized image payload magic — netpbm (P5/P6), PNG and "
+        "baseline JPEG decode natively; plug Pillow/cv2 here for exotic "
+        "formats (progressive JPEG, WebP, AVIF, ...)")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
@@ -452,12 +457,16 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
     """Deterministic (item_id, kind, payload) rows with REAL decodable
     payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, cycling the
     scanline filter type (i//4) % 5 so every PNG unfilter path runs inside
-    the driver gate), and PCM-16 WAV clips built in-process. Pure
-    Python/numpy (no Spark) so the driver-side oracle twin
+    the driver gate), baseline JPEGs (i % 8 == 4, alternating 4:4:4 and
+    4:2:0 with restart markers — every decoder path in operators/jpeg.py
+    runs inside the driver gate), and PCM-16 WAV clips built in-process.
+    Pure Python/numpy (no Spark) so the driver-side oracle twin
     (oracle_fit.media_features_expected) regenerates byte-identical payloads
     from the same (n, seed). The rng draw order is unchanged from the
-    PPM-only generator — only the ENCODING of every other image differs, so
-    pixel-derived features are encoding-invariant."""
+    PPM-only generator — only the ENCODING differs per slot; pixel-derived
+    features are encoding-invariant for the lossless formats and pinned to
+    this codec's deterministic output for JPEG (lossy by design; the twin
+    decodes the same bytes with the same decoder)."""
     import io
     import wave
 
@@ -469,6 +478,11 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             if i % 4 == 2:
                 payload = encode_png(img, filter_type=(i // 4) % 5)
+            elif i % 8 == 4:
+                from ficaria_spark.operators.jpeg import encode_jpeg
+                payload = encode_jpeg(img, quality=90,
+                                      subsample=(i // 8) % 2 == 1,
+                                      restart_interval=(i // 8) % 3)
             else:
                 payload = encode_netpbm(img)
             rows.append((i, "image", bytearray(payload)))

@@ -930,7 +930,7 @@ def media_features_expected(n: int = 32, seed: int = 6):
     out = []
     for item_id, kind, payload in synthetic_media_rows(n, seed):
         if kind == "image":
-            # dispatch-by-magic, same as the Spark kernel: PPM and PNG rows
+            # dispatch-by-magic, same as the Spark kernel: PPM/PNG/JPEG rows
             img = _decode_image_real(bytes(payload))
             px = img.reshape(-1, img.shape[-1]).astype(np.float64)
             means, stds = px.mean(axis=0), px.std(axis=0)

@@ -861,6 +861,87 @@ def test_png_rows_flow_through_media_gate_kernel(spark):
         assert np.allclose(np.asarray(got, dtype=float), exp)
 
 
+def test_jpeg_codec_roundtrip_determinism_and_conformance():
+    """Round-6 follow-through on the codec seam: baseline JPEG in pure
+    stdlib+numpy. Lossy round-trip stays within tight error bounds on
+    smooth images, encode is byte-deterministic, restart markers change
+    the container but not one decoded pixel, 4:2:0 and grayscale work,
+    the emitted stream is structurally conformant JFIF (marker walk), and
+    non-baseline/garbage input raises loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 21, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([(yy * 7) % 256, (xx * 5) % 256,
+                       ((yy + xx) * 3) % 256], axis=-1).astype(np.uint8)
+    p = encode_jpeg(smooth, quality=95)
+    assert p == encode_jpeg(smooth, quality=95)  # deterministic
+    dec = decode_jpeg(p)
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(float) - smooth.astype(float)).mean() < 1.5
+
+    # marker walk: SOI, then APP0/DQT/SOF0/DHT/DRI/SOS in a legal order
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    seen, pos = [], 2
+    while p[pos + 1] != 0xDA:
+        assert p[pos] == 0xFF
+        seen.append(p[pos + 1])
+        (ln,) = __import__("struct").unpack_from(">H", p, pos + 2)
+        pos += 2 + ln
+    assert seen[0] == 0xE0 and 0xDB in seen and 0xC0 in seen and 0xC4 in seen
+
+    # 4:2:0, grayscale (h, w, 1) convention, odd/1-pixel edges
+    assert decode_jpeg(encode_jpeg(smooth, subsample=True)).shape == smooth.shape
+    g = ((yy * 11) % 256).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dg.shape == (h, w, 1)
+    assert np.abs(dg[:, :, 0].astype(float) - g.astype(float)).mean() < 2.0
+    one = np.full((1, 1, 3), 200, dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(one, quality=95)).shape == (1, 1, 3)
+
+    # restart markers: container changes, pixels must not
+    base = decode_jpeg(encode_jpeg(smooth, quality=90))
+    for ri in (1, 3):
+        withr = decode_jpeg(encode_jpeg(smooth, quality=90,
+                                        restart_interval=ri))
+        assert (withr == base).all()
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01garbage")
+    # flipping SOF0 (C0) to SOF2 (C2) must raise the progressive seam
+    prog = bytearray(p)
+    prog[prog.index(bytes([0xFF, 0xC0])) + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive|baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_rows_flow_through_media_gate_kernel(spark):
+    """The synthetic media table now carries baseline-JPEG payloads
+    (i % 8 == 4: 4:4:4 and 4:2:0, with and without restart markers) and
+    the REAL-codec image_features stage decodes them: per-row features
+    must equal a driver-side decode of the same payload — the exact
+    parity the media_features oracle twin asserts at the gate."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import (
+        _decode_image_real, image_features, synthetic_media_table)
+
+    media = synthetic_media_table(spark, n=32, seed=6)
+    imgs = media.where("kind = 'image'")
+    payloads = {r.item_id: bytes(r.payload) for r in imgs.collect()}
+    jpeg_ids = [i for i, p in payloads.items() if p[:2] == b"\xff\xd8"]
+    assert sorted(jpeg_ids) == [4, 12, 20, 28]  # i % 8 == 4 of 32
+    feats = image_features(imgs, meta_col=None, use_fake_codec=False).toPandas()
+    for item_id in jpeg_ids:
+        img = _decode_image_real(payloads[item_id])
+        exp = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        got = feats[feats.item_id == item_id].chan_mean.iloc[0]
+        assert np.allclose(np.asarray(got, dtype=float), exp)
+
+
 def test_decontaminate_shuffle_and_bloom_methods(spark, sf_dir):
     """The three decontaminate scale shapes agree: shuffle == broadcast
     exactly (same semantics, no broadcast hint); bloom is a SUPERSET with
