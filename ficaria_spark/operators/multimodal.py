@@ -5,12 +5,14 @@ The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
 signatures — is real and tested. Codecs: binary netpbm images (P5/P6),
 8-bit PNG (stdlib ``zlib`` inflate + numpy unfiltering — see
 :func:`decode_png`), baseline JPEG (pure stdlib+numpy Huffman/DCT — see
-operators/jpeg.py), and PCM WAV audio decode FOR REAL here (no external
-library; all exercised end-to-end by ``synthetic_media_table``); the
-remaining compressed formats (MP3/AAC audio, video, exotic images) still
-dispatch to a clearly-marked ``NotImplementedError`` seam — swap in
-Pillow/torchaudio/PyAV on a real cluster; nothing else changes. A
-deterministic fake codec remains for payload-agnostic plumbing tests.
+operators/jpeg.py), and WAV audio — integer PCM plus G.711 μ-law/A-law,
+IMA ADPCM and IEEE float (operators/audio.py) — decode FOR REAL here (no
+external library; all exercised end-to-end by ``synthetic_media_table``);
+the remaining compressed formats (perceptual audio MP3/AAC/Opus, video,
+exotic images) still dispatch to a clearly-marked ``NotImplementedError``
+seam — swap in Pillow/torchaudio/PyAV on a real cluster; nothing else
+changes. A deterministic fake codec remains for payload-agnostic plumbing
+tests.
 
 Scale notes: binary payloads dominate I/O — keep them in their own column so
 column pruning skips them unless the stage needs bytes; repartition by size
@@ -101,11 +103,23 @@ def encode_netpbm(img: np.ndarray) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL audio decode for WAV payloads via the stdlib ``wave`` module —
-    no external codec. Returns ((n_samples, n_channels) float64 in [-1, 1],
-    sample_rate). PCM 8/16/32-bit supported."""
+    """REAL audio decode for WAV payloads — no external codec. Returns
+    ((n_samples, n_channels) float64 in [-1, 1], sample_rate). Integer PCM
+    8/16/32-bit decodes via the stdlib ``wave`` module (bit-identical to
+    every earlier round); compressed/non-integer tags (G.711 μ-law/A-law,
+    IMA ADPCM, IEEE float) dispatch to operators/audio.py."""
     import io
+    import struct
     import wave
+
+    if payload[:4] == b"RIFF" and len(payload) >= 22:
+        # peek the fmt tag without the wave module (it rejects non-PCM)
+        fmt_at = payload.find(b"fmt ")
+        if fmt_at >= 0:
+            (tag,) = struct.unpack_from("<H", payload, fmt_at + 8)
+            if tag != 1:
+                from ficaria_spark.operators.audio import decode_wav_compressed
+                return decode_wav_compressed(payload)
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
         sw, nch, rate = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
@@ -459,7 +473,9 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
     scanline filter type (i//4) % 5 so every PNG unfilter path runs inside
     the driver gate), baseline JPEGs (i % 8 == 4, alternating 4:4:4 and
     4:2:0 with restart markers — every decoder path in operators/jpeg.py
-    runs inside the driver gate), and PCM-16 WAV clips built in-process.
+    runs inside the driver gate), and WAV clips built in-process — PCM-16
+    plus REAL compressed audio (G.711 μ-law/A-law, IMA ADPCM 4-bit; audio
+    slots by i % 8, see below).
     Pure Python/numpy (no Spark) so the driver-side oracle twin
     (oracle_fit.media_features_expected) regenerates byte-identical payloads
     from the same (n, seed). The rng draw order is unchanged from the
@@ -491,20 +507,31 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
             t = np.arange(int(rng.integers(800, 4000))) / rate
             tone = (0.5 * np.sin(2 * np.pi * float(rng.integers(100, 800)) * t)
                     * 32767).astype("<i2")
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as wf:
-                wf.setnchannels(1)
-                wf.setsampwidth(2)
-                wf.setframerate(rate)
-                wf.writeframes(tone.tobytes())
-            rows.append((i, "audio", bytearray(buf.getvalue())))
+            # audio slots by i % 8: 1 → PCM-16 (the original stdlib-wave
+            # path, byte-identical to earlier rounds), 3 → G.711 μ-law,
+            # 5 → IMA ADPCM (real 4-bit compression), 7 → G.711 A-law —
+            # every decoder in operators/audio.py runs inside the gate
+            if i % 8 == 1:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(tone.tobytes())
+                payload = buf.getvalue()
+            else:
+                from ficaria_spark.operators.audio import encode_wav_compressed
+                codec = {3: "mulaw", 5: "ima_adpcm", 7: "alaw"}[i % 8]
+                payload = encode_wav_compressed(tone, rate, codec=codec)
+            rows.append((i, "audio", bytearray(payload)))
     return rows
 
 
 def synthetic_media_table(spark, n: int = 32, seed: int = 6) -> DataFrame:
     """(item_id, kind, payload binary) with REAL decodable payloads —
-    P6 PPM images and PCM-16 WAV clips built in-process — so the real-codec
-    paths are exercised end-to-end without any external library."""
+    PPM/PNG/JPEG images and PCM/G.711/ADPCM WAV clips built in-process —
+    so the real-codec paths are exercised end-to-end without any external
+    library."""
     schema = T.StructType([
         T.StructField("item_id", T.LongType()),
         T.StructField("kind", T.StringType()),

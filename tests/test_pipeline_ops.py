@@ -942,6 +942,98 @@ def test_jpeg_rows_flow_through_media_gate_kernel(spark):
         assert np.allclose(np.asarray(got, dtype=float), exp)
 
 
+def test_audio_codecs_g711_bit_parity_and_roundtrips():
+    """Compressed-WAV codecs (operators/audio.py): G.711 μ-law/A-law must
+    be BIT-IDENTICAL to CPython's audioop reference in all four directions
+    over the full domain (256 codes / 65536 linear values); IMA ADPCM
+    round-trips a tone at reasonable SNR and is deterministic; every
+    codec's full WAV container round-trips through decode_wav dispatch."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.audio import (
+        alaw_decode, alaw_encode, decode_wav_compressed,
+        encode_wav_compressed, ima_adpcm_decode, ima_adpcm_encode,
+        mulaw_decode, mulaw_encode)
+    from ficaria_spark.operators.multimodal import decode_wav
+
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        audioop = None  # removed in 3.13 — parity still pinned on 3.11/3.12
+
+    full = np.arange(-32768, 32768, dtype=np.int16)
+    codes = np.arange(256, dtype=np.uint8)
+    if audioop is not None:
+        assert np.array_equal(
+            np.frombuffer(audioop.lin2ulaw(full.tobytes(), 2), np.uint8),
+            mulaw_encode(full))
+        assert np.array_equal(
+            np.frombuffer(audioop.lin2alaw(full.tobytes(), 2), np.uint8),
+            alaw_encode(full))
+        assert np.array_equal(
+            np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2"),
+            mulaw_decode(codes))
+        assert np.array_equal(
+            np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2"),
+            alaw_decode(codes))
+    # quantizer idempotence + error bound hold with or without audioop
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    assert np.abs(mulaw_decode(mulaw_encode(full)).astype(np.int32)
+                  - full.astype(np.int32)).max() < 1024
+    assert np.abs(alaw_decode(alaw_encode(full)).astype(np.int32)
+                  - full.astype(np.int32)).max() < 1024
+
+    t = np.arange(5000) / 8000
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    data = ima_adpcm_encode(tone)
+    assert data == ima_adpcm_encode(tone)
+    dec = ima_adpcm_decode(data, block_align=256, n_samples=len(tone))
+    assert len(dec) == len(tone)
+    err = dec.astype(float) - tone.astype(float)
+    snr = 10 * np.log10((tone.astype(float) ** 2).mean() / (err ** 2).mean())
+    assert snr > 20  # 4-bit ADPCM on a cold-start loud tone
+
+    for codec in ("mulaw", "alaw", "ima_adpcm", "float32"):
+        w = encode_wav_compressed(tone, 8000, codec=codec)
+        x, rate = decode_wav_compressed(w)
+        assert rate == 8000 and x.shape == (len(tone), 1)
+        # decode_wav (multimodal) must dispatch here by fmt tag
+        x2, rate2 = decode_wav(w)
+        assert rate2 == 8000 and np.array_equal(x, x2)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav_compressed(b"nope")
+
+
+def test_compressed_audio_rows_flow_through_media_gate_kernel(spark):
+    """The synthetic media table now carries G.711 and IMA-ADPCM WAV
+    payloads (audio slots i % 8 ∈ {3, 7} and {5}) and the audio_features
+    stage decodes them: per-row rms must equal a driver-side decode of the
+    same payload — the parity the media_features oracle twin asserts."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import (
+        audio_features, decode_wav, synthetic_media_table)
+
+    media = synthetic_media_table(spark, n=32, seed=6)
+    auds = media.where("kind = 'audio'")
+    payloads = {r.item_id: bytes(r.payload) for r in auds.collect()}
+    compressed = [i for i, p in payloads.items()
+                  if p[:4] == b"RIFF" and p[20:22] != b"\x01\x00"]
+    assert sorted(compressed) == sorted(
+        [i for i in range(32) if i % 8 in (3, 5, 7)])
+    feats = audio_features(auds).toPandas()
+    for item_id in compressed:
+        x, rate = decode_wav(payloads[item_id])
+        mono = x.mean(axis=1)
+        exp = float(np.sqrt((mono ** 2).mean()))
+        got = float(feats[feats.item_id == item_id].rms.iloc[0])
+        assert abs(got - exp) < 1e-12
+
+
 def test_decontaminate_shuffle_and_bloom_methods(spark, sf_dir):
     """The three decontaminate scale shapes agree: shuffle == broadcast
     exactly (same semantics, no broadcast hint); bloom is a SUPERSET with
