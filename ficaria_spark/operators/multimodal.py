@@ -400,21 +400,54 @@ def resize_images(
 
 def frame_sample(
     df: DataFrame, *, payload_col: str = "payload", n_frames_col: str = "n_frames",
-    every: int = 10,
+    every: int = 10, use_real_codec: bool = False,
 ) -> DataFrame:
-    """Video frame sampling stub: emits (row × sampled frame_index) with a
-    deterministic frame digest — the explode/partition shape of a real
-    frame-sampler, without a codec.
+    """Video frame sampling: emits (row × sampled frame_index) with a
+    deterministic frame digest.
 
-    Pure JVM expressions (VERDICT r4 #8 — no per-row Python, no UDF): frame
-    indices come from ``sequence`` + ``explode`` over (n_frames, every) and
-    the digest is ``sha2(payload ‖ frame_index_be32)`` — byte-identical to
-    the former Python kernel (``sha256(payload + fi.to_bytes(4,'big'))``,
-    first 16 hex chars). A real decoder drops in as a ``mapInPandas`` over
-    the exploded (payload, frame_index) pairs; the explode/partition shape
-    stays exactly this."""
+    Default (stub) path — pure JVM expressions (VERDICT r4 #8 — no per-row
+    Python, no UDF): frame indices come from ``sequence`` + ``explode``
+    over (n_frames, every) and the digest is
+    ``sha2(payload ‖ frame_index_be32)`` — byte-identical to the former
+    Python kernel (``sha256(payload + fi.to_bytes(4,'big'))``, first 16
+    hex chars).
+
+    ``use_real_codec=True`` — REAL multi-frame decode (GIF via
+    operators/gif.py; ``n_frames_col`` is ignored, the true frame count
+    comes from the container): one ``mapInPandas`` pass decodes each
+    payload once, samples every ``every``-th frame, and digests the
+    DECODED RGB bytes (sha256, first 16 hex) — a content digest, stable
+    across container re-encodings of the same frames (e.g. interlaced vs
+    sequential), which the payload-digest stub can never be. Same output
+    schema either way; H.264/VP9 plug into the same dispatch on a real
+    cluster."""
     if every <= 0:
         raise ValueError(f"every must be positive, got {every}")
+    if use_real_codec:
+        keep = [c for c in df.columns if c != payload_col]
+        schema = _schema_minus(df, payload_col,
+                               "frame_index int, frame_digest string")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ficaria_spark.operators.gif import decode_gif
+
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    payload = row[payload_col]
+                    if payload is None:
+                        continue
+                    frames, _delays = decode_gif(bytes(payload))
+                    base = {k: row[k] for k in keep}
+                    for fi in range(0, len(frames), every):
+                        digest = hashlib.sha256(
+                            frames[fi].tobytes()).hexdigest()[:16]
+                        rows.append({**base, "frame_index": fi,
+                                     "frame_digest": digest})
+                yield pd.DataFrame(
+                    rows, columns=keep + ["frame_index", "frame_digest"])
+
+        return df.mapInPandas(run, schema)
     idx = F.when(
         F.col(n_frames_col) > 0,
         F.sequence(F.lit(0), F.col(n_frames_col) - F.lit(1), F.lit(every)),
@@ -467,6 +500,55 @@ def audio_features(
     return df.mapInPandas(run, schema)
 
 
+def video_features(
+    df: DataFrame, *, payload_col: str = "payload",
+) -> DataFrame:
+    """REAL multi-frame decode (GIF via operators/gif.py) → n_frames,
+    duration (sum of per-frame delays), mean/std of per-frame luminance,
+    and mean inter-frame motion (mean |Δpixel| / 255 between consecutive
+    frames). One mapInPandas pass, payload column dropped on output —
+    the same stage contract as image/audio_features. Real video codecs
+    (H.264/VP9/AV1) plug into the decode dispatch on a real cluster."""
+    schema = _schema_minus(
+        df, payload_col,
+        "n_frames double, duration_s double, frame_lum_mean double, "
+        "frame_lum_std double, motion double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ficaria_spark.operators.gif import decode_gif
+
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                                     ("n_frames", "duration_s",
+                                      "frame_lum_mean", "frame_lum_std",
+                                      "motion")}
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    for k in cols:
+                        cols[k].append(float("nan"))
+                    continue
+                frames, delays = decode_gif(bytes(payload))
+                lums = np.array([f.astype(np.float64).mean() for f in frames])
+                if len(frames) > 1:
+                    motion = float(np.mean([
+                        np.abs(b.astype(np.float64)
+                               - a.astype(np.float64)).mean() / 255.0
+                        for a, b in zip(frames, frames[1:])]))
+                else:
+                    motion = 0.0
+                cols["n_frames"].append(float(len(frames)))
+                cols["duration_s"].append(sum(delays) / 100.0)
+                cols["frame_lum_mean"].append(float(lums.mean()))
+                cols["frame_lum_std"].append(float(lums.std()))
+                cols["motion"].append(motion)
+            out = pdf.drop(columns=[payload_col]).copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, bytearray]]:
     """Deterministic (item_id, kind, payload) rows with REAL decodable
     payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, cycling the
@@ -489,7 +571,22 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 16 == 14:
+            # video slot: a REAL multi-frame GIF (operators/gif.py) — 64-
+            # color palette, 3–6 frames, per-frame delays; the second one
+            # (i = 30) writes frame 0 interlaced so the deinterlace path
+            # runs inside the gate
+            from ficaria_spark.operators.gif import encode_gif
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+            nf = int(rng.integers(3, 7))
+            frames = [rng.integers(0, 64, size=(h, w), dtype=np.uint8)
+                      for _ in range(nf)]
+            delays = [int(rng.integers(4, 20)) for _ in range(nf)]
+            payload = encode_gif(frames, pal, delays=delays,
+                                 interlace_first=(i // 16) % 2 == 1)
+            rows.append((i, "video", bytearray(payload)))
+        elif i % 2 == 0:
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             if i % 4 == 2:

@@ -927,9 +927,24 @@ def media_features_expected(n: int = 32, seed: int = 6):
     from ficaria_spark.operators.multimodal import (
         _decode_image_real, decode_wav, synthetic_media_rows)
 
+    from ficaria_spark.operators.gif import decode_gif
+
     out = []
     for item_id, kind, payload in synthetic_media_rows(n, seed):
-        if kind == "image":
+        if kind == "video":
+            # same numpy expressions as multimodal.video_features
+            frames, delays = decode_gif(bytes(payload))
+            lums = np.array([f.astype(np.float64).mean() for f in frames])
+            motion = float(np.mean([
+                np.abs(b.astype(np.float64) - a.astype(np.float64)).mean()
+                / 255.0 for a, b in zip(frames, frames[1:])])) \
+                if len(frames) > 1 else 0.0
+            out.append((item_id, kind, "n_frames", float(len(frames))))
+            out.append((item_id, kind, "duration_s", sum(delays) / 100.0))
+            out.append((item_id, kind, "frame_lum_mean", float(lums.mean())))
+            out.append((item_id, kind, "frame_lum_std", float(lums.std())))
+            out.append((item_id, kind, "motion", motion))
+        elif kind == "image":
             # dispatch-by-magic, same as the Spark kernel: PPM/PNG/JPEG rows
             img = _decode_image_real(bytes(payload))
             px = img.reshape(-1, img.shape[-1]).astype(np.float64)

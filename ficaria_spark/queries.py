@@ -1172,12 +1172,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation computed by oracle_fit.media_features_expected from the same
     generator + decoders (pure numpy/stdlib, no Spark)."""
     from ficaria_spark.operators.multimodal import (
-        audio_features, image_features, synthetic_media_table)
+        audio_features, image_features, synthetic_media_table, video_features)
 
     media = synthetic_media_table(spark, n=32, seed=6)
     img = image_features(media.where("kind = 'image'"), meta_col=None,
                          use_fake_codec=False)
     au = audio_features(media.where("kind = 'audio'"))
+    vid = video_features(media.where("kind = 'video'"))
 
     img_feats = []
     for j in range(3):
@@ -1194,6 +1195,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     au_feats = [
         F.struct(F.lit(c).alias("feature"), F.col(c).alias("value"))
         for c in ("duration_s", "rms", "peak", "zcr")]
+    vid_feats = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).alias("value"))
+        for c in ("n_frames", "duration_s", "frame_lum_mean",
+                  "frame_lum_std", "motion")]
 
     def long_form(df, feats):
         return df.select(
@@ -1201,7 +1206,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("item_id", "kind", F.col("f.feature").alias("feature"),
                  F.round(F.col("f.value"), 6).alias("value"))
 
-    return long_form(img, img_feats).unionByName(long_form(au, au_feats))
+    return (long_form(img, img_feats)
+            .unionByName(long_form(au, au_feats))
+            .unionByName(long_form(vid, vid_feats)))
 
 
 @register("dedup_simhash")

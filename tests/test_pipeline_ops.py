@@ -702,7 +702,7 @@ def test_real_codec_media_pipeline(spark):
             "named_struct('width', 0, 'height', 0, 'channels', 3, 'format', 'ppm')")),
         use_fake_codec=False,
     ).toPandas()
-    assert len(img_feats) == 8
+    assert len(img_feats) == 7  # 8 even ids minus the video slot (i = 14)
     assert all(len(m) == 3 for m in img_feats.chan_mean)
     assert all(0.0 <= v <= 255.0 for m in img_feats.chan_mean for v in m)
     # cross-check one row against a driver-side decode
@@ -852,7 +852,7 @@ def test_png_rows_flow_through_media_gate_kernel(spark):
     imgs = media.where("kind = 'image'")
     payloads = {r.item_id: bytes(r.payload) for r in imgs.collect()}
     png_ids = [i for i, p in payloads.items() if p[:8] == _PNG_MAGIC]
-    assert len(png_ids) == 8  # i % 4 == 2 of 32
+    assert len(png_ids) == 6  # i % 4 == 2 of 32, minus video slots 14/30
     feats = image_features(imgs, meta_col=None, use_fake_codec=False).toPandas()
     for item_id in png_ids:
         img = _decode_image_real(payloads[item_id])
@@ -1032,6 +1032,84 @@ def test_compressed_audio_rows_flow_through_media_gate_kernel(spark):
         exp = float(np.sqrt((mono ** 2).mean()))
         got = float(feats[feats.item_id == item_id].rms.iloc[0])
         assert abs(got - exp) < 1e-12
+
+
+def test_gif_codec_roundtrip_lzw_and_interlace():
+    """GIF (operators/gif.py): palette-index frames round-trip LOSSLESSLY
+    (decode == palette[frame] exactly) across multi-frame, interlaced,
+    2-color, and >4096-LZW-entry (dict reset) payloads; encode is
+    deterministic; garbage raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 64, size=(17, 23), dtype=np.uint8)
+              for _ in range(5)]
+    g = encode_gif(frames, pal, delays=[7, 8, 9, 10, 11])
+    assert g == encode_gif(frames, pal, delays=[7, 8, 9, 10, 11])
+    dec, delays = decode_gif(g)
+    assert delays == [7, 8, 9, 10, 11]
+    for f, d in zip(frames, dec):
+        assert np.array_equal(d, pal[f])
+    # interlaced first frame decodes to identical pixels
+    dec2, _ = decode_gif(encode_gif(frames, pal, interlace_first=True))
+    assert all(np.array_equal(a, b) for a, b in zip(dec, dec2))
+    # 2-color palette and the LZW dict-reset path (>4096 entries)
+    big = rng.integers(0, 256, size=(120, 130), dtype=np.uint8)
+    pal256 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    d4, _ = decode_gif(encode_gif([big], pal256))
+    assert np.array_equal(d4[0], pal256[big])
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+
+
+def test_video_rows_flow_through_media_gate_and_frame_sample(spark):
+    """The synthetic media table carries GIF video payloads (i % 16 == 14;
+    one sequential, one interlaced-first) and video_features decodes them
+    in-plan: per-row n_frames/motion must equal a driver-side decode of
+    the same payload. The real-codec frame_sample digests DECODED frame
+    content — so re-encoding frame 0 interlaced must not change its
+    digest, while the stub's payload digest does."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from ficaria_spark.operators.gif import decode_gif, encode_gif
+    from ficaria_spark.operators.multimodal import (
+        frame_sample, synthetic_media_table, video_features)
+
+    media = synthetic_media_table(spark, n=32, seed=6)
+    vids = media.where("kind = 'video'")
+    payloads = {r.item_id: bytes(r.payload) for r in vids.collect()}
+    assert sorted(payloads) == [14, 30]
+    feats = video_features(vids).toPandas()
+    for item_id, p in payloads.items():
+        frames, delays = decode_gif(p)
+        row = feats[feats.item_id == item_id].iloc[0]
+        assert row.n_frames == len(frames)
+        assert abs(row.duration_s - sum(delays) / 100.0) < 1e-12
+    sampled = frame_sample(vids, every=2, use_real_codec=True).toPandas()
+    for item_id, p in payloads.items():
+        frames, _ = decode_gif(p)
+        got = sampled[sampled.item_id == item_id].sort_values("frame_index")
+        assert list(got.frame_index) == list(range(0, len(frames), 2))
+        for fi, dig in zip(got.frame_index, got.frame_digest):
+            assert dig == _hashlib.sha256(
+                frames[fi].tobytes()).hexdigest()[:16]
+    # content digest is container-invariant: re-encode frame set with the
+    # other interlace setting → same frame digests
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    fr = [rng.integers(0, 32, size=(9, 11), dtype=np.uint8) for _ in range(3)]
+    a = encode_gif(fr, pal, interlace_first=False)
+    b = encode_gif(fr, pal, interlace_first=True)
+    assert a != b
+    da, _ = decode_gif(a)
+    db, _ = decode_gif(b)
+    assert all(np.array_equal(x, y) for x, y in zip(da, db))
 
 
 def test_decontaminate_shuffle_and_bloom_methods(spark, sf_dir):
