@@ -441,12 +441,16 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
     # host has time-varying steal; min-wall is the standard noise-robust
     # estimator for same-input benchmarking
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    probe_before = calibration_probe()
+    mem_probe_before = memory_probe()
     results: dict[int, dict] = {}
     for _ in range(reps):
         for n_execs in (n, 4 * n):
             r = one(n_execs)
             if n_execs not in results or r["value"] < results[n_execs]["value"]:
                 results[n_execs] = r
+    probe_after = calibration_probe()
+    mem_probe_after = memory_probe()
     thr_n = results[n]["rows_per_sec"]
     thr_4n = results[4 * n]["rows_per_sec"]
     return {
@@ -462,6 +466,16 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
         "throughput_rows_per_sec": {str(n): thr_n, str(4 * n): thr_4n},
         "wall_sec": {str(n): results[n]["value"], str(4 * n): results[4 * n]["value"]},
         "stages_sec": {str(n): results[n].get("stages"), str(4 * n): results[4 * n].get("stages")},
+        # same decidability contract as the headline suite: the CPU probe
+        # marks frequency/steal regime, the mem probe marks the DRAM-steal
+        # component that dominates the hashing/window stages at 4× cores —
+        # compare efficiencies across rounds only at comparable probes
+        "calibration": {
+            "probe_sec_before": probe_before,
+            "probe_sec_after": probe_after,
+            "mem_probe_sec_before": mem_probe_before,
+            "mem_probe_sec_after": mem_probe_after,
+        },
     }
 
 
