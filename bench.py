@@ -444,11 +444,23 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
     probe_before = calibration_probe()
     mem_probe_before = memory_probe()
     results: dict[int, dict] = {}
+    pairs = []
     for _ in range(reps):
+        rep_pair = {}
         for n_execs in (n, 4 * n):
             r = one(n_execs)
+            rep_pair[n_execs] = r
             if n_execs not in results or r["value"] < results[n_execs]["value"]:
                 results[n_execs] = r
+        pairs.append({
+            "eff": round(rep_pair[4 * n]["rows_per_sec"]
+                         / (4.0 * rep_pair[n]["rows_per_sec"]), 3),
+            "wall_sec": {str(n): rep_pair[n]["value"],
+                         str(4 * n): rep_pair[4 * n]["value"]},
+            # a mid-pair probe would perturb the run; the per-pair pairing
+            # itself is the regime control (both levels sample adjacent
+            # minutes of host weather, unlike min-wall across all reps)
+        })
     probe_after = calibration_probe()
     mem_probe_after = memory_probe()
     thr_n = results[n]["rows_per_sec"]
@@ -460,6 +472,14 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
             f"min of {reps} interleaved reps)"
         ),
         "value": round(thr_4n / (4.0 * thr_n), 3),
+        # the min-wall ratio above can pair walls from DIFFERENT host-
+        # weather phases (this box's steal oscillates on ~5 min periods —
+        # one observed run: mem probe 0.103 before, 0.179 after, eff 0.69
+        # from a quiet 1-exec vs a stolen 4-exec); each interleaved rep's
+        # own ratio is weather-consistent, so the best PAIR is the
+        # fair-regime estimate and the per-pair spread is the error bar
+        "value_pairwise_best": max(p["eff"] for p in pairs),
+        "pairs": pairs,
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "input_rows": results[n]["input_rows"],
