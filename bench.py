@@ -476,9 +476,13 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
         # weather phases (this box's steal oscillates on ~5 min periods —
         # one observed run: mem probe 0.103 before, 0.179 after, eff 0.69
         # from a quiet 1-exec vs a stolen 4-exec); each interleaved rep's
-        # own ratio is weather-consistent, so the best PAIR is the
-        # fair-regime estimate and the per-pair spread is the error bar
+        # own ratio is weather-consistent. max() over noisy ratios is
+        # itself upward-biased (a phase flip INSIDE a pair can flatter
+        # it), so report best AND median and always quote the spread —
+        # a claim that only clears the bar via best-of-pairs is weather
+        # luck, not a measurement
         "value_pairwise_best": max(p["eff"] for p in pairs),
+        "value_pairwise_median": sorted(p["eff"] for p in pairs)[len(pairs) // 2],
         "pairs": pairs,
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),

@@ -68,9 +68,16 @@ def parse_wav_chunks(payload: bytes) -> dict:
 
 def _wav_container(format_tag: int, channels: int, rate: int, bits: int,
                    block_align: int, data: bytes, *,
-                   extra: bytes = b"", fact_samples: int | None = None) -> bytes:
-    byte_rate = rate * block_align if format_tag == WAVE_FORMAT_IMA_ADPCM \
-        else rate * channels * (bits // 8)
+                   extra: bytes = b"", fact_samples: int | None = None,
+                   samples_per_block: int | None = None) -> bytes:
+    if format_tag == WAVE_FORMAT_IMA_ADPCM:
+        # bytes/sec at the COMPRESSED rate: each block of block_align bytes
+        # carries samples_per_block samples (r6 review: rate*block_align
+        # overstated this ~500×, a conformance defect for external tools
+        # that trust nAvgBytesPerSec for duration/buffering)
+        byte_rate = rate * block_align // (samples_per_block or 1)
+    else:
+        byte_rate = rate * channels * max(bits // 8, 1)
     fmt = struct.pack("<HHIIHH", format_tag, channels, rate,
                       byte_rate, block_align, bits)
     if format_tag != WAVE_FORMAT_PCM:
@@ -271,7 +278,8 @@ def encode_wav_compressed(pcm16: np.ndarray, rate: int, *,
         data = ima_adpcm_encode(pcm16, block_samples=block_samples)
         extra = struct.pack("<H", block_samples)
         return _wav_container(WAVE_FORMAT_IMA_ADPCM, 1, rate, 4, block_align,
-                              data, extra=extra, fact_samples=len(pcm16))
+                              data, extra=extra, fact_samples=len(pcm16),
+                              samples_per_block=block_samples)
     if codec == "float32":
         data = (pcm16.astype(np.float32) / 32768.0).tobytes()
         return _wav_container(WAVE_FORMAT_IEEE_FLOAT, 1, rate, 32, 4, data,

@@ -258,14 +258,35 @@ def _bloom_build(hashed: DataFrame, *, fpp: float):
             [pa.array([bits.tobytes()], type=pa.binary())], names=["bm"])
 
     # ≤ 256 partials keeps the partial COUNT bounded regardless of input
-    # size; the OR-reduce streams one partial at a time (toLocalIterator)
-    # so peak driver memory is 2 bitmaps, not 256 — at fpp=1e-4 over 100M
-    # items one bitmap is ~240 MB, and a collect() would need ~60 GB
+    # size. Two-level OR-reduce: the EXPENSIVE build tasks (hash + scatter
+    # over the bitmap) run as one parallel shuffle-map stage — the
+    # repartition below is the shuffle boundary that materializes them all
+    # in the FIRST toLocalIterator job, so later partitions reuse shuffle
+    # files instead of computing builds serially (a bare toLocalIterator
+    # over the build stage runs one build task per driver pull — measured
+    # design flaw, r6 review). Executors OR ≤ 4 partials each (cheap);
+    # the driver then streams ≤ 64 pre-reduced partials one at a time, so
+    # peak driver memory stays 2 bitmaps — at fpp=1e-4 over 100M items one
+    # bitmap is ~240 MB and a collect() of raw partials would need ~60 GB.
+    def or_reduce(batches):
+        acc_ex = None
+        for batch in batches:
+            col = batch.column(0)
+            for i in range(len(col)):
+                arr = np.frombuffer(col[i].as_py(), dtype=np.uint8)
+                acc_ex = arr.copy() if acc_ex is None else (acc_ex | arr)
+        if acc_ex is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc_ex.tobytes()], type=pa.binary())],
+                names=["bm"])
+
     src = hashed.where(F.col("h").isNotNull())
     if src.rdd.getNumPartitions() > 256:
         src = src.repartition(256)
+    partials = src.mapInArrow(build, "bm binary")
+    reduced = partials.repartition(64).mapInArrow(or_reduce, "bm binary")
     acc = np.zeros(n_bytes, dtype=np.uint8)
-    for row in src.mapInArrow(build, "bm binary").toLocalIterator():
+    for row in reduced.toLocalIterator():
         acc |= np.frombuffer(row["bm"], dtype=np.uint8)
     sc = hashed.sparkSession.sparkContext
     return sc.broadcast(acc), n_bits, n_hashes

@@ -145,6 +145,17 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
     per-frame delay in centiseconds (0 if no GCE)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad signature)")
+
+    def at(p: int) -> int:
+        # every forward scan goes through here so a truncated payload
+        # (corrupt fetch) raises a diagnosable error, not a bare
+        # IndexError from deep inside the parser (r6 review finding)
+        if p >= len(payload):
+            raise ValueError("truncated GIF payload")
+        return payload[p]
+
+    if len(payload) < 13:
+        raise ValueError("truncated GIF payload")
     w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
@@ -166,10 +177,10 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
         if b == 0x3B:                                   # trailer
             break
         if b == 0x21:                                   # extension
-            label = payload[pos]
+            label = at(pos)
             pos += 1
             blocks = []
-            while payload[pos] != 0:
+            while at(pos) != 0:
                 ln = payload[pos]
                 blocks.append(payload[pos + 1: pos + 1 + ln])
                 pos += 1 + ln
@@ -179,6 +190,8 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
                 disposal = (gpack >> 2) & 0x07
                 transparent = blocks[0][3] if gpack & 0x01 else -1
         elif b == 0x2C:                                 # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF payload")
             left, top, iw, ih, ipack = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             ct = gct
@@ -189,10 +202,10 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
                 pos += ncol * 3
             if ct is None:
                 raise ValueError("GIF image with no color table")
-            mcs = payload[pos]
+            mcs = at(pos)
             pos += 1
             chunks = []
-            while payload[pos] != 0:
+            while at(pos) != 0:
                 ln = payload[pos]
                 chunks.append(payload[pos + 1: pos + 1 + ln])
                 pos += 1 + ln

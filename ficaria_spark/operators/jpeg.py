@@ -371,8 +371,13 @@ class _BitReader:
             self._acc = (self._acc << 8) | 0xFF
             self._nbits += 8
             return
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG payload (entropy data ends "
+                             "before the scan completes)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG payload (dangling 0xFF)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -514,9 +519,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             and mcu_count % restart_interval == 0:
                         # Skip to and consume the RSTn marker.
                         p = br.pos
-                        while not (payload[p] == 0xFF
-                                   and 0xD0 <= payload[p + 1] <= 0xD7):
+                        while p + 1 < len(payload) and not (
+                                payload[p] == 0xFF
+                                and 0xD0 <= payload[p + 1] <= 0xD7):
                             p += 1
+                        if p + 1 >= len(payload):
+                            raise ValueError(
+                                "truncated JPEG payload (missing RSTn)")
                         br.pos = p + 2
                         br.reset()
                         preds = [0] * len(comps)

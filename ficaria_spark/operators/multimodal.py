@@ -551,25 +551,28 @@ def video_features(
 
 def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, bytearray]]:
     """Deterministic (item_id, kind, payload) rows with REAL decodable
-    payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, cycling the
-    scanline filter type (i//4) % 5 so every PNG unfilter path runs inside
-    the driver gate), baseline JPEGs (i % 8 == 4, alternating 4:4:4 and
-    4:2:0 with restart markers — every decoder path in operators/jpeg.py
-    runs inside the driver gate), and WAV clips built in-process — PCM-16
-    plus REAL compressed audio (G.711 μ-law/A-law, IMA ADPCM 4-bit; audio
-    slots by i % 8, see below).
-    Pure Python/numpy (no Spark) so the driver-side oracle twin
-    (oracle_fit.media_features_expected) regenerates byte-identical payloads
-    from the same (n, seed). The rng draw order is unchanged from the
-    PPM-only generator — only the ENCODING differs per slot; pixel-derived
-    features are encoding-invariant for the lossless formats and pinned to
-    this codec's deterministic output for JPEG (lossy by design; the twin
-    decodes the same bytes with the same decoder)."""
+    payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, filter type
+    cycling over the PNG rows actually emitted so every unfilter path —
+    None/Sub/Up/Average/Paeth — runs inside the driver gate), baseline
+    JPEGs (i % 8 == 4, alternating 4:4:4 and 4:2:0 with restart markers),
+    GIF videos (i % 16 == 14), and WAV clips — PCM-16 plus REAL compressed
+    audio (G.711 μ-law/A-law, IMA ADPCM 4-bit; audio slots by i % 8, see
+    below). Pure Python/numpy (no Spark) so the driver-side oracle twin
+    (oracle_fit.media_features_expected) regenerates byte-identical
+    payloads from the same (n, seed). NOTE: the rng variate sequence is a
+    function of the SLOT LAYOUT (the video slot draws palette/frames where
+    image slots draw one pixel array), so payloads are stable within a
+    code version, not across layout changes — parity is guaranteed by the
+    shared generator, never by cross-version payload stability. JPEG/GIF
+    features are pinned to these codecs' deterministic output (lossy /
+    palette-mapped by design; the twin decodes the same bytes with the
+    same decoders)."""
     import io
     import wave
 
     rng = np.random.default_rng(seed)
     rows = []
+    png_count = 0
     for i in range(n):
         if i % 16 == 14:
             # video slot: a REAL multi-frame GIF (operators/gif.py) — 64-
@@ -590,7 +593,11 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             if i % 4 == 2:
-                payload = encode_png(img, filter_type=(i // 4) % 5)
+                # cycle the filter over the PNG rows ACTUALLY emitted (the
+                # video slot steals i=14, so an (i//4)%5 cycle would skip
+                # filter 3/Average entirely — r6 review finding)
+                payload = encode_png(img, filter_type=png_count % 5)
+                png_count += 1
             elif i % 8 == 4:
                 from ficaria_spark.operators.jpeg import encode_jpeg
                 payload = encode_jpeg(img, quality=90,

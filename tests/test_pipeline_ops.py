@@ -911,6 +911,8 @@ def test_jpeg_codec_roundtrip_determinism_and_conformance():
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01garbage")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(p[:-30])  # cut mid-entropy-stream
     # flipping SOF0 (C0) to SOF2 (C2) must raise the progressive seam
     prog = bytearray(p)
     prog[prog.index(bytes([0xFF, 0xC0])) + 1] = 0xC2
@@ -1064,6 +1066,8 @@ def test_gif_codec_roundtrip_lzw_and_interlace():
     assert np.array_equal(d4[0], pal256[big])
     with _pytest.raises(ValueError, match="signature"):
         decode_gif(b"NOTAGIF")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif(g[:len(g) // 2])  # cut mid-sub-block
 
 
 def test_video_rows_flow_through_media_gate_and_frame_sample(spark):
