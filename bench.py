@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -482,7 +483,10 @@ def run_scaling(sf_dir: str = SF_DIR, n: int = 1, expand: int | None = None) -> 
         # a claim that only clears the bar via best-of-pairs is weather
         # luck, not a measurement
         "value_pairwise_best": max(p["eff"] for p in pairs),
-        "value_pairwise_median": sorted(p["eff"] for p in pairs)[len(pairs) // 2],
+        # true median (even counts average the middle two — at the default
+        # reps=2 the upper-middle element would just be max() again)
+        "value_pairwise_median": round(statistics.median(
+            p["eff"] for p in pairs), 3),
         "pairs": pairs,
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),

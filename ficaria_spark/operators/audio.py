@@ -75,7 +75,11 @@ def _wav_container(format_tag: int, channels: int, rate: int, bits: int,
         # carries samples_per_block samples (r6 review: rate*block_align
         # overstated this ~500×, a conformance defect for external tools
         # that trust nAvgBytesPerSec for duration/buffering)
-        byte_rate = rate * block_align // (samples_per_block or 1)
+        if not samples_per_block:
+            raise ValueError(
+                "IMA ADPCM container requires samples_per_block "
+                "(nAvgBytesPerSec is undefined without it)")
+        byte_rate = rate * block_align // samples_per_block
     else:
         byte_rate = rate * channels * max(bits // 8, 1)
     fmt = struct.pack("<HHIIHH", format_tag, channels, rate,

@@ -258,37 +258,29 @@ def _bloom_build(hashed: DataFrame, *, fpp: float):
             [pa.array([bits.tobytes()], type=pa.binary())], names=["bm"])
 
     # ≤ 256 partials keeps the partial COUNT bounded regardless of input
-    # size. Two-level OR-reduce: the EXPENSIVE build tasks (hash + scatter
-    # over the bitmap) run as one parallel shuffle-map stage — the
-    # repartition below is the shuffle boundary that materializes them all
-    # in the FIRST toLocalIterator job, so later partitions reuse shuffle
-    # files instead of computing builds serially (a bare toLocalIterator
-    # over the build stage runs one build task per driver pull — measured
-    # design flaw, r6 review). Executors OR ≤ 4 partials each (cheap);
-    # the driver then streams ≤ 64 pre-reduced partials one at a time, so
-    # peak driver memory stays 2 bitmaps — at fpp=1e-4 over 100M items one
-    # bitmap is ~240 MB and a collect() of raw partials would need ~60 GB.
-    def or_reduce(batches):
-        acc_ex = None
-        for batch in batches:
-            col = batch.column(0)
-            for i in range(len(col)):
-                arr = np.frombuffer(col[i].as_py(), dtype=np.uint8)
-                acc_ex = arr.copy() if acc_ex is None else (acc_ex | arr)
-        if acc_ex is not None:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([acc_ex.tobytes()], type=pa.binary())],
-                names=["bm"])
-
+    # size. The OR-reduce must balance three constraints at the comment's
+    # own pathological sizing (fpp=1e-4 over 100M items → ~240 MB/bitmap,
+    # 256 partials ≈ 60 GB total): (a) a collect() needs ~60 GB of driver
+    # heap; (b) a bare toLocalIterator computes the EXPENSIVE build tasks
+    # serially, one per driver pull (r6 review); (c) a shuffle boundary
+    # (repartition/treeReduce) parallelizes the builds but writes all
+    # 60 GB of incompressible bitmaps to shuffle disk (r6 fix-review).
+    # sc.runJob over chunked partition ranges threads the needle: each
+    # wave computes `chunk` build partitions IN PARALLEL and ships only
+    # their bitmaps to the driver, which ORs and drops them — no shuffle,
+    # no disk, driver peak = chunk·bitmap + acc, bounded at ~2 GB.
     src = hashed.where(F.col("h").isNotNull())
     if src.rdd.getNumPartitions() > 256:
         src = src.repartition(256)
-    partials = src.mapInArrow(build, "bm binary")
-    reduced = partials.repartition(64).mapInArrow(or_reduce, "bm binary")
-    acc = np.zeros(n_bytes, dtype=np.uint8)
-    for row in reduced.toLocalIterator():
-        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    rdd = src.mapInArrow(build, "bm binary").rdd
+    nparts = rdd.getNumPartitions()
+    chunk = max(1, min(nparts, int(2 * 2**30) // max(n_bytes, 1)))
     sc = hashed.sparkSession.sparkContext
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for start in range(0, nparts, chunk):
+        wave = list(range(start, min(start + chunk, nparts)))
+        for bm in sc.runJob(rdd, lambda it: [r["bm"] for r in it], wave):
+            acc |= np.frombuffer(bm, dtype=np.uint8)
     return sc.broadcast(acc), n_bits, n_hashes
 
 

@@ -164,6 +164,9 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
         gct = np.frombuffer(payload, np.uint8, ncol * 3, pos).reshape(-1, 3)
         pos += ncol * 3
     canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg >= len(gct):
+        bg = 0  # junk background index is common in the wild; viewers
+        # treat it as 0 rather than failing
     if gct is not None:
         canvas[:] = gct[bg]
     frames: list[np.ndarray] = []
@@ -171,10 +174,12 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
     delay = 0
     transparent = -1
     disposal = 0
+    saw_trailer = False
     while pos < len(payload):
         b = payload[pos]
         pos += 1
         if b == 0x3B:                                   # trailer
+            saw_trailer = True
             break
         if b == 0x21:                                   # extension
             label = at(pos)
@@ -186,6 +191,8 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
                 pos += 1 + ln
             pos += 1
             if label == 0xF9 and blocks:                # graphics control
+                if len(blocks[0]) < 4:
+                    raise ValueError("corrupt GIF graphics-control block")
                 gpack, delay = struct.unpack_from("<BH", blocks[0], 0)
                 disposal = (gpack >> 2) & 0x07
                 transparent = blocks[0][3] if gpack & 0x01 else -1
@@ -233,6 +240,10 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     if not frames:
         raise ValueError("GIF contains no image data")
+    if not saw_trailer:
+        # a payload cut exactly at a block boundary would otherwise return
+        # a silently short frame list (r6 fix-review)
+        raise ValueError("truncated GIF payload (missing trailer)")
     return frames, delays
 
 

@@ -445,13 +445,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1      # stray fill bytes between segments
             continue
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG payload (dangling marker byte)")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:                      # EOI
             break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG payload (cut segment header)")
         (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > n:
+            raise ValueError("truncated JPEG payload (cut segment body)")
         body = payload[pos + 2: pos + seglen]
         pos += seglen
         if marker == 0xDB:                      # DQT
