@@ -17,9 +17,13 @@ Scale notes (100 TB):
   same (entity, ts) ordering and Catalyst reuses a single Exchange+Sort.
 * A hot entity (skewed ``doc_id``) serializes its window into one task. Where
   semantics allow pre-aggregation, use :func:`salted` from
-  ``operators.skew`` to split the entity; for order-dependent ops
-  (backfill/sessionize) the partition is irreducibly sequential per entity —
-  bound it by time-bucketing upstream (partition the table by days(ts)).
+  ``operators.skew`` to split the entity; for the order-dependent ops the
+  bounded-carry rewrites :func:`sessionize_blocked` and
+  :func:`pit_backfill_bounded` (``method="blocked"``) split one entity's
+  history across time blocks with EXACT semantics (driver-hash-gated equal
+  to the single-window paths). Unbounded backfill/interpolation carries are
+  unbounded by semantics — those stay sequential per entity (kept linear),
+  bounded upstream by time-bucketing (partition the table by days(ts)).
 * Leakage-freedom is *structural*: the strict frame ends at row -1, so no
   plan rewrite can ever read the current or a future row.
 """
@@ -30,6 +34,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 
 def _w(entity: str | Sequence[str], order: str | Sequence[str]) -> WindowSpec:
@@ -125,6 +130,229 @@ def sessionize(
     new_sess = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
     run = _w(entity, [ts, *tiebreak]).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(session_col, F.sum(new_sess).over(run))
+
+
+def _ent_list(entity: str | Sequence[str]) -> list[str]:
+    return [entity] if isinstance(entity, str) else list(entity)
+
+
+def _ep_us(df: DataFrame, ts: str) -> Column:
+    """Integer-exact event epoch: microseconds for timestamps, raw value ×1e6
+    (as long) for numeric ``ts``. Block ids and staleness bounds computed on
+    this column are exact integer arithmetic — identical in Spark and any
+    ANSI oracle — so blocked variants can never diverge from the exact path
+    by a float ULP at a block or tolerance boundary."""
+    if isinstance(df.schema[ts].dataType, TimestampType):
+        return F.unix_micros(F.col(ts))
+    return (F.col(ts).cast("double") * F.lit(1_000_000.0)).cast("long")
+
+
+def sessionize_blocked(
+    df: DataFrame,
+    entity: str | Sequence[str],
+    ts: str,
+    *,
+    gap_seconds: float,
+    block_seconds: float,
+    tiebreak: Sequence[str] = (),
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Hot-entity-parallel :func:`sessionize` — identical output, but one
+    entity's history no longer serializes into one task.
+
+    Why it exists (measured, BENCH/BASELINE.md "Hot-entity window skew"): the
+    single-window sessionize partitions by entity, so an entity holding
+    fraction ``p`` of the corpus pins ``p`` of the stage's work to ONE core —
+    on a 1000-executor cluster a p=0.9 bot entity makes the stage ~90%
+    serial. Sessionization qualifies for the block-parallel rewrite because
+    the carry between consecutive time blocks is BOUNDED: whether the first
+    event of a block opens a new session depends only on the previous
+    non-empty block's last timestamp.
+
+    Two passes, exact semantics:
+
+    1. block-local (parallel over ``(entity, floor(ts/block_seconds))``):
+       in-block gap flags + running flag sums — the same ``gap_seconds``
+       comparison, on the same double-cast timestamps, as :func:`sessionize`;
+    2. carry (tiny: one row per non-empty ``(entity, block)``): the
+       first-event flag of each block from the previous block's last
+       timestamp, plus a running session offset over blocks.
+
+    The carry relation is joined back on ``(entity, block)`` (null-safe on
+    entity keys — ``Window.partitionBy`` groups NULL entities together, so
+    the join must too). It has one row per non-empty block per entity —
+    orders of magnitude smaller than the data; AQE broadcasts it.
+
+    Output is exactly ``sessionize(...)``: same rows, same ``session_col``
+    values (equality is hard-gated in the driver's ``sessionize`` slot and
+    property-swept in tests). Requires non-null ``ts``; per-entity
+    parallelism = number of non-empty blocks, so pick ``block_seconds`` well
+    below the corpus time span (and comfortably above ``gap_seconds``, else
+    the carry relation stops being small relative to the data).
+    """
+    ent = _ent_list(entity)
+    if block_seconds <= 0:
+        raise ValueError("block_seconds must be positive")
+    block_us = int(round(float(block_seconds) * 1_000_000))
+    blk = F.floor(_ep_us(df, ts) / F.lit(block_us)).cast("long")
+    tagged = df.withColumn("__blk", blk)
+
+    ords = [F.col(ts).asc(), *(F.col(c).asc() for c in tiebreak)]
+    w_local = Window.partitionBy(*ent, "__blk").orderBy(*ords)
+    ep = F.col(ts).cast("double")
+    gap = ep - F.lag(ep).over(w_local)
+    # First row of a block has a NULL local gap -> local flag 0; its true
+    # new-session flag is decided by the carry pass (never double-counted).
+    local_flag = F.when(gap > F.lit(float(gap_seconds)), 1).otherwise(0)
+    flagged = tagged.withColumn("__lflag", local_flag).withColumn(
+        "__lrun",
+        F.sum("__lflag").over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    carry = flagged.groupBy(*ent, "__blk").agg(
+        F.min(ep).alias("__first_ep"),
+        F.max(ep).alias("__last_ep"),
+        F.sum("__lflag").alias("__flags"),
+    )
+    w_blocks = Window.partitionBy(*ent).orderBy(F.col("__blk").asc())
+    prev_last = F.lag("__last_ep").over(w_blocks)
+    first_flag = F.when(
+        prev_last.isNull()
+        | ((F.col("__first_ep") - prev_last) > F.lit(float(gap_seconds))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    base_prev = F.coalesce(
+        F.sum(F.col("__ff") + F.col("__flags")).over(
+            w_blocks.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    carry = (
+        carry.withColumn("__ff", first_flag)
+        .withColumn("__add", base_prev + F.col("__ff"))
+        .select(*ent, "__blk", "__add")
+    )
+
+    left = flagged.alias("L")
+    right = carry.alias("R")
+    cond = F.col("L.__blk") == F.col("R.__blk")
+    for k in ent:
+        cond = cond & F.col(f"L.{k}").eqNullSafe(F.col(f"R.{k}"))
+    out = left.join(right, cond, "inner").select("L.*", F.col("R.__add"))
+    return out.withColumn(
+        session_col, (F.col("__add") + F.col("__lrun")).cast("long")
+    ).drop("__blk", "__lflag", "__lrun", "__add")
+
+
+def pit_backfill_bounded(
+    df: DataFrame,
+    entity: str | Sequence[str],
+    ts: str,
+    cols: Sequence[str],
+    *,
+    tolerance_seconds: float,
+    tiebreak: Sequence[str] = (),
+    suffix: str = "_filled",
+    method: str = "window",
+    block_seconds: float | None = None,
+) -> DataFrame:
+    """Bounded-staleness point-in-time backfill: fill each NULL in ``cols``
+    from the most recent **strictly earlier** observation of the same entity
+    that is at most ``tolerance_seconds`` old; older observations never fill
+    (the value has gone stale).
+
+    Same zero-leakage structure as :func:`pit_backfill` (the candidate frame
+    ends at row −1), plus the staleness bound — the variant that restores
+    BLOCK LOCALITY to backfill: an in-tolerance source for a row at time t
+    lives in ``[t − tolerance, t)``, which intersects at most two
+    ``block_seconds ≥ tolerance_seconds`` time blocks.
+
+    ``method``:
+
+    * ``"window"`` (default, exact reference path): one running
+      ``last(ignorenulls)`` over a (epoch, value) struct per column —
+      identical shuffle shape to :func:`pit_backfill`; a hot entity's
+      history still serializes into one task.
+    * ``"blocked"`` (hot-entity-parallel): rows are partitioned by
+      ``(entity, floor(ts/block_seconds))``; each non-null observation is
+      additionally duplicated into the NEXT block as a lookup-only row, so
+      every in-tolerance candidate for any query row is present in the query
+      row's own block partition. Per-task work is bounded by two blocks of
+      one entity regardless of skew; the cost is one extra copy of the
+      observation rows through the shuffle (payload: entity, ts, tiebreak,
+      ``cols`` only — prune other columns upstream if they are wide).
+
+    Both methods compute staleness in integer microseconds
+    (``tolerance_us = round(tolerance_seconds·1e6)``, inclusive bound), so
+    they are bit-equal to each other and to an integer-epoch SQL oracle —
+    no float-ULP divergence at tolerance or block boundaries. Requires
+    non-null ``ts``; ``tiebreak`` must make (ts, tiebreak) a total order per
+    entity, as in :func:`pit_backfill`.
+    """
+    ent = _ent_list(entity)
+    if method not in ("window", "blocked"):
+        raise ValueError(f"unknown method {method!r}")
+    tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+    if tol_us < 0:
+        raise ValueError("tolerance_seconds must be non-negative")
+    ep_us = _ep_us(df, ts)
+
+    def fill_over(frame: DataFrame, w) -> list[Column]:
+        filled = []
+        for c in cols:
+            src = F.last(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col("__ep_us").alias("ep"), F.col(c).alias("v")),
+                ),
+                ignorenulls=True,
+            ).over(w)
+            filled.append(
+                F.coalesce(
+                    F.col(c),
+                    F.when(F.col("__ep_us") - src["ep"] <= F.lit(tol_us), src["v"]),
+                ).alias(c + suffix)
+            )
+        return filled
+
+    ords = [F.col(ts).asc(), *(F.col(c).asc() for c in tiebreak)]
+    if method == "window":
+        w = (
+            Window.partitionBy(*ent)
+            .orderBy(*ords)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = df.withColumn("__ep_us", ep_us)
+        out = base.select("*", *fill_over(base, w))
+        return out.drop("__ep_us")
+
+    block_s = float(block_seconds) if block_seconds is not None else float(tolerance_seconds)
+    block_us = int(round(block_s * 1_000_000))
+    if block_us < tol_us or block_us <= 0:
+        raise ValueError("block_seconds must be >= tolerance_seconds (and > 0)")
+    base = df.withColumn("__ep_us", ep_us)
+    obs_nonnull = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        obs_nonnull = p if obs_nonnull is None else (obs_nonnull | p)
+    blk = F.floor(F.col("__ep_us") / F.lit(block_us)).cast("long")
+    queries = base.withColumn("__blk", blk).withColumn("__lookup", F.lit(False))
+    # Lookup twins land in the NEXT block; their epoch is strictly below that
+    # block's start, so they sort before every query row there (ties with a
+    # query row are impossible) and the -1 frame end keeps strictness intact.
+    lookups = (
+        base.where(obs_nonnull)
+        .withColumn("__blk", blk + F.lit(1))
+        .withColumn("__lookup", F.lit(True))
+    )
+    uni = queries.unionByName(lookups)
+    w = (
+        Window.partitionBy(*ent, "__blk")
+        .orderBy(*ords)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = uni.select("*", *fill_over(uni, w))
+    return out.where(~F.col("__lookup")).drop("__ep_us", "__blk", "__lookup")
 
 
 def tumble(

@@ -27,7 +27,9 @@ from ficaria_spark.operators.temporal import (
     interpolate_linear,
     lag_lead,
     pit_backfill,
+    pit_backfill_bounded,
     sessionize,
+    sessionize_blocked,
     tumble,
 )
 
@@ -57,23 +59,54 @@ _GRID_CTE = f"WITH grid AS ({datagen.FEATURE_GRID_SQL})"
 
 @register(
     "pit_backfill",
-    oracle=f"""{_GRID_CTE}
+    # The bounded column is the staleness-tolerant variant (most recent
+    # strictly-earlier observation at most 7200 s old; integer-microsecond
+    # bound). The blocked column is the hot-entity-parallel implementation of
+    # the SAME semantics (operators/temporal.py pit_backfill_bounded,
+    # method="blocked") — the oracle emits the exact bounded value for both,
+    # so the driver hash-gates blocked == exact.
+    oracle=f"""{_GRID_CTE},
+bounded AS (
+  SELECT *, last_value(
+           CASE WHEN f_value IS NOT NULL
+                THEN struct_pack(ep := epoch_us(ts), v := f_value) END
+           IGNORE NULLS) OVER (
+           PARTITION BY entity_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s
+  FROM grid
+)
 SELECT event_id, entity_id, epoch_us(ts) AS ts_us,
        coalesce(
          f_value,
          last_value(f_value IGNORE NULLS) OVER (
            PARTITION BY entity_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       ) AS f_value_filled
-FROM grid
+       ) AS f_value_filled,
+       coalesce(f_value,
+                CASE WHEN epoch_us(ts) - s.ep <= 7200000000 THEN s.v END)
+         AS f_value_filled_bounded,
+       coalesce(f_value,
+                CASE WHEN epoch_us(ts) - s.ep <= 7200000000 THEN s.v END)
+         AS f_value_filled_blocked
+FROM bounded
 """,
 )
 def q_pit_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = datagen.feature_grid(spark, sf_dir)
     out = pit_backfill(grid, "entity_id", "ts", ["f_value"], strict=True, tiebreak=["event_id"])
+    out = pit_backfill_bounded(
+        out, "entity_id", "ts", ["f_value"], tolerance_seconds=7200.0,
+        tiebreak=["event_id"], suffix="_filled_bounded", method="window",
+    )
+    out = pit_backfill_bounded(
+        out, "entity_id", "ts", ["f_value"], tolerance_seconds=7200.0,
+        tiebreak=["event_id"], suffix="_filled_blocked", method="blocked",
+    )
     return out.select(
         "event_id", "entity_id", _us("ts").alias("ts_us"),
         F.col("f_value_filled"),
+        F.col("f_value_filled_bounded"),
+        F.col("f_value_filled_blocked"),
     )
 
 
@@ -115,19 +148,33 @@ SELECT entity_id, session_seq,
        count(*) AS n_events,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) AS end_us,
-       cast(sum(cast(f_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       cast(sum(cast(f_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       session_seq AS blocked_min,
+       session_seq AS blocked_max
 FROM sess
 GROUP BY entity_id, session_seq
 """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocked_min/max: the hot-entity-parallel sessionize_blocked assigns the
+    # SAME session id to every row (operators/temporal.py) — per exact-session
+    # group, min == max == session_seq. The oracle emits session_seq for both,
+    # so any single-row divergence of the blocked path from the exact path
+    # moves the min or max of that row's group and fails the hash gate.
     grid = datagen.feature_grid(spark, sf_dir)
     sess = sessionize(grid, "entity_id", "ts", gap_seconds=1800.0, tiebreak=["event_id"])
+    blk = sessionize_blocked(
+        grid, "entity_id", "ts", gap_seconds=1800.0, block_seconds=7200.0,
+        tiebreak=["event_id"], session_col="session_seq_blocked",
+    ).select("event_id", "session_seq_blocked")
+    sess = sess.join(blk, "event_id")
     return sess.groupBy("entity_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
         F.sum(F.col("f_value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.min("session_seq_blocked").alias("blocked_min"),
+        F.max("session_seq_blocked").alias("blocked_max"),
     )
 
 
@@ -1143,6 +1190,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = dedup_clusters_star(pairs).withColumnRenamed(
         "cluster_rep", "cluster_rep_star")
     return a.join(b, "doc_id")
+
+
+def pit_backfill_prod_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the PRODUCTION pit_backfill shape — identical to what the
+    r≤5 headline measured under the name ``pit_backfill``. The registered
+    gate query now additionally computes the bounded-staleness fill twice
+    (exact window + hot-entity-blocked) so the driver hash-gates
+    blocked == exact; that deliberate cross-check work stays in the gate,
+    not in the headline (same hygiene as dedup_clusters_star_bench)."""
+    grid = datagen.feature_grid(spark, sf_dir)
+    out = pit_backfill(grid, "entity_id", "ts", ["f_value"], strict=True,
+                       tiebreak=["event_id"])
+    return out.select("event_id", "entity_id", _us("ts").alias("ts_us"),
+                      F.col("f_value_filled"))
+
+
+def sessionize_prod_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the PRODUCTION sessionize shape (r≤5 headline work) —
+    the registered gate query now also runs sessionize_blocked and joins it
+    back for the equality hash-gate; the headline keeps timing the
+    single-window production path under the same slot name."""
+    grid = datagen.feature_grid(spark, sf_dir)
+    sess = sessionize(grid, "entity_id", "ts", gap_seconds=1800.0,
+                      tiebreak=["event_id"])
+    return sess.groupBy("entity_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        F.sum(F.col("f_value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
 
 
 def dedup_clusters_star_bench(spark: SparkSession, sf_dir: str) -> DataFrame:

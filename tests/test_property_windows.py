@@ -35,7 +35,8 @@ from hypothesis import strategies as st
 from pyspark.sql import types as T
 
 from ficaria_spark.operators.temporal import (
-    interpolate_linear, pit_backfill, sessionize)
+    interpolate_linear, pit_backfill, pit_backfill_bounded, sessionize,
+    sessionize_blocked)
 
 _entity = st.one_of(st.none(), st.integers(0, 2))
 _ts = st.integers(0, 9)
@@ -119,3 +120,57 @@ def test_window_family_matches_python_reference(spark, rows, gap):
             assert g is None or (isinstance(g, float) and math.isnan(g))
         else:
             assert g is not None and abs(g - exp) < 1e-9, (rid, g, exp)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=_rows, gap=st.integers(1, 4), tol=st.integers(0, 4),
+       block=st.integers(1, 3))
+def test_blocked_variants_match_python_reference(spark, rows, gap, tol, block):
+    """Hot-entity-parallel rewrites (sessionize_blocked /
+    pit_backfill_bounded method='blocked') vs the same plain-Python
+    references as the exact paths — over relations with duplicate
+    timestamps, NULL entity keys (the blocked carry join must be null-safe
+    to match Window.partitionBy's null grouping), single-row entities, and
+    deliberately TINY blocks (1–3 ticks over a 0–9 clock) so block
+    boundaries fall inside sessions and inside tolerance windows."""
+    df = _df(spark, rows)
+    groups = _ordered_groups(rows)
+
+    # --- sessionize_blocked == the sessionize reference, any block size
+    exp_sess: dict[int, int] = {}
+    for g in groups.values():
+        prev_t, seq = None, 0
+        for rid, t, _v in g:
+            if prev_t is None or t - prev_t > gap:
+                seq += 1
+            exp_sess[rid] = seq
+            prev_t = t
+    got_s = {r.rid: r.session_seq
+             for r in sessionize_blocked(
+                 df, "entity", "ts", gap_seconds=float(gap),
+                 block_seconds=float(block), tiebreak=["rid"]).collect()}
+    assert got_s == exp_sess
+
+    # --- pit_backfill_bounded: last non-null strictly before AND at most
+    # tol old; window and blocked methods both match (block >= tol forced)
+    exp_fill: dict[int, float | None] = {}
+    for g in groups.values():
+        last_t, last_v = None, None
+        for rid, t, v in g:
+            if v is not None:
+                exp_fill[rid] = v
+            elif last_v is not None and t - last_t <= tol:
+                exp_fill[rid] = last_v
+            else:
+                exp_fill[rid] = None
+            if v is not None:
+                last_t, last_v = t, v
+    for method, bs in (("window", None), ("blocked", float(max(block, tol)))):
+        got = {r.rid: r.v_filled
+               for r in pit_backfill_bounded(
+                   df, "entity", "ts", ["v"], tolerance_seconds=float(tol),
+                   tiebreak=["rid"], method=method,
+                   block_seconds=bs).collect()}
+        assert got == exp_fill, method

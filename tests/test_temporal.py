@@ -523,3 +523,46 @@ def test_hot_entity_window_ops_stay_linear(spark):
         # quadratic measured ~14× on this exact pair. 10× splits them with
         # wide noise margins on a steal-prone host.
         assert ratio < 10.0, (name, w)
+
+
+def test_blocked_variants_equal_exact_on_hot_entity_corpus(spark):
+    """The hot-entity MITIGATION operators (sessionize_blocked,
+    pit_backfill_bounded method='blocked') on the probe corpus itself —
+    one entity holding 90% of 100k rows, the exact shape the recipe exists
+    for. Row-for-row equality vs the exact single-window paths; the blocked
+    session path must also split the hot entity across >1 time block
+    (otherwise the test exercises nothing)."""
+    from pyspark.sql import functions as F
+
+    from ficaria_spark.operators.temporal import (
+        pit_backfill_bounded, sessionize, sessionize_blocked)
+    from tools.probe_hot_entity import build
+
+    df = build(spark, 100_000, 0.9).persist()
+    df.count()
+    try:
+        exact = sessionize(df, "entity_id", "ts", gap_seconds=600.0,
+                           tiebreak=["event_id"])
+        blocked = sessionize_blocked(
+            df, "entity_id", "ts", gap_seconds=600.0, block_seconds=3600.0,
+            tiebreak=["event_id"], session_col="session_blk")
+        j = exact.select("event_id", "session_seq").join(
+            blocked.select("event_id", "session_blk"), "event_id")
+        assert j.where(~F.col("session_seq").eqNullSafe(F.col("session_blk"))).count() == 0
+
+        # the hot entity really spans multiple blocks (parallelism exists)
+        n_blocks = (df.where("entity_id = 0")
+                    .select(F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)))
+                    .distinct().count())
+        assert n_blocks > 1, n_blocks
+
+        w = pit_backfill_bounded(df, "entity_id", "ts", ["f_value"],
+                                 tolerance_seconds=1800.0, tiebreak=["event_id"])
+        b = pit_backfill_bounded(df, "entity_id", "ts", ["f_value"],
+                                 tolerance_seconds=1800.0, tiebreak=["event_id"],
+                                 method="blocked", block_seconds=3600.0)
+        jj = w.select("event_id", F.col("f_value_filled").alias("x")).join(
+            b.select("event_id", F.col("f_value_filled").alias("y")), "event_id")
+        assert jj.where(~F.col("x").eqNullSafe(F.col("y"))).count() == 0
+    finally:
+        df.unpersist()

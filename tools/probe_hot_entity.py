@@ -17,16 +17,19 @@ hot-entity term is SERIAL. Prints one JSON line per p.
 Usage:  python tools/probe_hot_entity.py [N] [p ...]
 Defaults: N=2_000_000, p in (0.0, 0.5, 0.9).
 
-Mitigation recipe (documented in BENCH/BASELINE.md "Hot-entity window
-skew"): pre-aggregate per (entity, time-block) then merge — legal only when
-the per-row result depends on a bounded carry between blocks. Sessionize
-qualifies (the gap flag at a block boundary needs only the previous block's
-last timestamp: two passes, block-local flags + a tiny per-(entity, block)
-carry join). pit_backfill and interpolate_linear do NOT in general (a
-backfill can reach arbitrarily far across blocks; interpolation needs the
-nearest non-null on BOTH sides), though a bounded-staleness variant
-(tolerance window ≤ block span) restores block locality — state the bound,
-don't silently assume it.
+Mitigation (IMPLEMENTED, operators/temporal.py; measured numbers in
+BENCH/BASELINE.md "Hot-entity window skew"): pre-aggregate per
+(entity, time-block) then merge — legal only when the per-row result
+depends on a bounded carry between blocks. `sessionize_blocked` (the gap
+flag at a block boundary needs only the previous block's last timestamp:
+block-local flags + a tiny per-(entity, block) carry join) and
+`pit_backfill_bounded(method="blocked")` (a staleness bound ≤ block span
+confines every candidate source to the current + previous block; non-null
+observations are duplicated once into the next block). Unbounded backfill
+and interpolation stay inherently serial per entity (the carry is
+unbounded); their serial term is kept LINEAR (the r6
+UnboundedFollowing-frame fix). This probe times both exact and blocked
+variants so the crossover is a measured number, not a claim.
 """
 
 from __future__ import annotations
@@ -62,7 +65,8 @@ def probe(spark, n: int, hot_frac: float) -> dict:
     from pyspark.sql import functions as F
 
     from ficaria_spark.operators.temporal import (
-        interpolate_linear, pit_backfill, sessionize)
+        interpolate_linear, pit_backfill, pit_backfill_bounded, sessionize,
+        sessionize_blocked)
 
     df = build(spark, n, hot_frac).persist()
     df.count()  # materialize outside the clock
@@ -82,6 +86,27 @@ def probe(spark, n: int, hot_frac: float) -> dict:
                             tiebreak=["event_id"])
     il.agg(F.count("*"), F.sum("f_value_interp")).collect()
     walls["interpolate_linear"] = round(time.perf_counter() - t, 3)
+    # --- hot-entity-parallel mitigation operators (same semantics, blocked
+    # by 15 min of event time; probe ts spans ~24h -> ~97 blocks inside the
+    # hot entity. Block count should exceed shuffle partitions by a few x,
+    # else hash collisions of the per-(entity, block) keys re-concentrate
+    # rows (measured: 25 blocks into 32 partitions put 3 blocks in one task)
+    t = time.perf_counter()
+    sb = sessionize_blocked(df, "entity_id", "ts", gap_seconds=600.0,
+                            block_seconds=900.0, tiebreak=["event_id"])
+    sb.agg(F.count("*"), F.max("session_seq")).collect()
+    walls["sessionize_blocked"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    bw = pit_backfill_bounded(df, "entity_id", "ts", ["f_value"],
+                              tolerance_seconds=900.0, tiebreak=["event_id"])
+    bw.agg(F.count("*"), F.sum("f_value_filled")).collect()
+    walls["backfill_bounded_window"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    bb = pit_backfill_bounded(df, "entity_id", "ts", ["f_value"],
+                              tolerance_seconds=900.0, tiebreak=["event_id"],
+                              method="blocked")
+    bb.agg(F.count("*"), F.sum("f_value_filled")).collect()
+    walls["backfill_bounded_blocked"] = round(time.perf_counter() - t, 3)
     total = round(time.perf_counter() - t0, 3)
     df.unpersist()
     return {"n": n, "hot_frac": hot_frac, "hot_rows": int(n * hot_frac),
