@@ -1,12 +1,18 @@
-"""Baseline JPEG (JFIF) codec in pure stdlib + numpy — no external library.
+"""JPEG (JFIF) codec in pure stdlib + numpy — no external library.
 
 Closes the "compressed image" half of the multimodal codec seam
 (VERDICT r5 "What's missing #1" named PNG; this is the follow-through on
-the remaining image format): :func:`decode_jpeg` parses any baseline
-sequential DCT JPEG (SOF0) — arbitrary Huffman/quant tables read from the
-stream, grayscale or YCbCr, any h×v chroma subsampling (4:4:4 / 4:2:2 /
-4:2:0), restart markers — and :func:`encode_jpeg` emits conformant
-baseline JFIF (4:4:4 or 4:2:0) that any standard decoder reads.
+the remaining image format): :func:`decode_jpeg` parses baseline
+sequential DCT JPEG (SOF0/1) — arbitrary Huffman/quant tables read from
+the stream, grayscale or YCbCr, any h×v chroma subsampling (4:4:4 /
+4:2:2 / 4:2:0), restart markers — AND progressive DCT JPEG (SOF2) with
+spectral selection and successive approximation (multi-scan coefficient
+accumulation, EOB runs, AC refinement correction bits; T.81 G.2).
+:func:`encode_jpeg` emits conformant baseline JFIF (4:4:4 or 4:2:0) or,
+with ``progressive=True``, a progressive stream whose scan script
+exercises both progressive features; its quantized coefficients are
+identical to the baseline encoding, so the two decodes are bit-equal
+(pinned in tests).
 
 Everything here is public knowledge: ITU-T T.81 (the JPEG standard —
 marker syntax, Annex C canonical Huffman construction, Annex F entropy
@@ -133,6 +139,13 @@ def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
 _ENC_DC = _huff_encode_map(_DC_BITS, _DC_VALS)
 _ENC_AC = _huff_encode_map(_AC_BITS, _AC_VALS)
 
+# Progressive AC table: the baseline 162 symbols plus the EOBn symbols
+# (r<<4 | 0 for r = 1..14 — end-of-band runs of length 2^r..2^(r+1)-1,
+# T.81 G.1.2.2); 176 codes at 8 bits is still canonical-legal (< 255).
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = _AC_VALS + [r << 4 for r in range(1, 15)]
+_ENC_AC_PROG = _huff_encode_map(_AC_PROG_BITS, _AC_PROG_VALS)
+
 
 def _ijg_scaled(table: np.ndarray, quality: int) -> np.ndarray:
     """IJG quality scaling (public libjpeg convention): 1..100 → scaled
@@ -222,6 +235,98 @@ def _write_block(w: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
+# --- progressive entropy coders (T.81 G.1.2; scan script in encode_jpeg) ---
+
+
+def _emit_eobrun(bw: _BitWriter, state: dict) -> None:
+    """Flush the pending end-of-band run (EOBn symbol + extension bits,
+    G.1.2.2) followed by the correction bits buffered under it."""
+    n = state["eobrun"]
+    if n:
+        t = n.bit_length() - 1
+        code, ln = _ENC_AC_PROG[t << 4]
+        bw.put(code, ln)
+        if t:
+            bw.put(n - (1 << t), t)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        bw.put(b, 1)
+    state["pending"] = []
+
+
+def _encode_ac_first_block(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                           al: int, state: dict) -> None:
+    """First AC scan of a spectral band: point-transformed values
+    (truncation toward zero by 2^al), zero runs, EOB runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)
+        if v == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, state)
+        while r > 15:
+            code, ln = _ENC_AC_PROG[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = _ENC_AC_PROG[(r << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+
+
+def _encode_ac_refine_block(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                            al: int, state: dict) -> None:
+    """AC successive-approximation refinement (G.1.2.3): newly-nonzero
+    coefficients (current magnitude exactly 1) are coded as run/size-1 +
+    sign; previously-nonzero ones contribute one buffered correction bit
+    each, emitted after the next symbol (or after the EOB run they ride)."""
+    mags = [(abs(int(zz[k])) >> al, int(zz[k]) > 0) for k in range(ss, se + 1)]
+    eob_idx = -1
+    for i, (m, _) in enumerate(mags):
+        if m == 1:
+            eob_idx = i
+    r = 0
+    br_bits: list[int] = []
+    for i, (m, positive) in enumerate(mags):
+        if m == 0:
+            r += 1
+            continue
+        # emit ZRLs now unless the zeros can fold into the final EOB run;
+        # this must happen BEFORE buffering a correction bit so the decoder
+        # sees each bit inside the 16-zero window it belongs to
+        while r > 15 and i <= eob_idx:
+            _emit_eobrun(bw, state)
+            code, ln = _ENC_AC_PROG[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits = []
+        if m > 1:
+            br_bits.append(m & 1)
+            continue
+        _emit_eobrun(bw, state)
+        code, ln = _ENC_AC_PROG[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if positive else 0, 1)
+        for b in br_bits:
+            bw.put(b, 1)
+        br_bits = []
+        r = 0
+    if r or br_bits:
+        state["eobrun"] += 1
+        state["pending"].extend(br_bits)
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+
+
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate pad to multiples of (mh, mw)."""
     h, w = plane.shape
@@ -249,10 +354,17 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, *, quality: int = 85,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Encode (H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 to baseline
-    JFIF bytes. ``subsample=True`` emits 4:2:0 (2×2-mean chroma), else
-    4:4:4; ``restart_interval=N`` emits DRI + RSTn every N MCUs.
+                subsample: bool = False, restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 to JFIF
+    bytes. ``subsample=True`` emits 4:2:0 (2×2-mean chroma), else 4:4:4;
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs (baseline only).
+    ``progressive=True`` emits a progressive (SOF2) stream whose scan
+    script exercises both progressive features: successive approximation
+    (DC and AC first scans at Al=1, then Ah=1→Al=0 refinement scans) and
+    spectral selection (per-component AC bands 1–5 and 6–63) — the
+    quantized coefficients are identical to the baseline encoding, so
+    decode(progressive) == decode(baseline) bit-for-bit.
     Deterministic: fixed tables, float64 DCT, round-half-even."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[-1] == 1:
@@ -296,26 +408,99 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         comp_zz.append(_encode_component_blocks(
             padded, qt_l if qi == 0 else qt_c))
 
-    # Entropy-coded segment: MCU-interleaved block order (T.81 A.2.3).
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval
-                                               - 1) % 8])
-                preds = [0] * len(planes)
-            mcu_count += 1
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        zz = comp_zz[ci][my * sv + by, mx * sh + bx]
-                        preds[ci] = _write_block(bw, zz, preds[ci],
-                                                 _ENC_DC, _ENC_AC)
-    bw.flush()
+    if progressive and restart_interval:
+        raise ValueError("restart markers are unsupported with "
+                         "progressive=True (use one or the other)")
+
+    scans: list[tuple[bytes, bytes]] = []   # (SOS body, entropy bytes)
+    if not progressive:
+        # Entropy-coded segment: MCU-interleaved block order (T.81 A.2.3).
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval
+                                                   - 1) % 8])
+                    preds = [0] * len(planes)
+                mcu_count += 1
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = comp_zz[ci][my * sv + by, mx * sh + bx]
+                            preds[ci] = _write_block(bw, zz, preds[ci],
+                                                     _ENC_DC, _ENC_AC)
+        bw.flush()
+    else:
+        # Progressive scan script (T.81 G.1): DC first at Al=1 (interleaved),
+        # per-component AC bands (1–5, 6–63) at Al=1, DC refinement, then
+        # per-component AC refinements — spectral selection AND successive
+        # approximation both on the wire. AC scans walk each component's own
+        # block raster (non-interleaved dims), so MCU-padding blocks carry
+        # DC only; they are cropped away at reconstruction.
+        ncomps = len(planes)
+        comp_dims = []
+        for sh, sv in samp:
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            comp_dims.append((-(-ch // 8), -(-cw // 8)))
+
+        def dc_scan(al: int, refine: bool) -> tuple[bytes, bytes]:
+            bwx = _BitWriter()
+            preds = [0] * ncomps
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (sh, sv) in enumerate(samp):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                dc = int(comp_zz[ci][my * sv + by,
+                                                     mx * sh + bx][0])
+                                if refine:
+                                    bwx.put((dc >> al) & 1, 1)
+                                    continue
+                                v = dc >> al
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                t = _category(diff)
+                                code, ln = _ENC_DC[t]
+                                bwx.put(code, ln)
+                                if t:
+                                    bwx.put(diff if diff >= 0
+                                            else diff + (1 << t) - 1, t)
+            bwx.flush()
+            sos = bytes([ncomps]) \
+                + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomps)) \
+                + bytes([0, 0, ((1 if refine else 0) << 4)
+                         | (0 if refine else al)])
+            return sos, bytes(bwx.out)
+
+        def ac_scan(ci: int, ss_: int, se_: int, al: int,
+                    refine: bool) -> tuple[bytes, bytes]:
+            bwx = _BitWriter()
+            state = {"eobrun": 0, "pending": []}
+            bh_c, bw_c = comp_dims[ci]
+            block = _encode_ac_refine_block if refine else _encode_ac_first_block
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    block(bwx, comp_zz[ci][by, bx], ss_, se_, al, state)
+            _emit_eobrun(bwx, state)
+            bwx.flush()
+            sos = bytes([1, ci + 1, 0x00, ss_, se_,
+                         ((1 if refine else 0) << 4)
+                         | (0 if refine else al)])
+            return sos, bytes(bwx.out)
+
+        scans.append(dc_scan(1, refine=False))
+        for ci in range(ncomps):
+            for ss_, se_ in ((1, 5), (6, 63)):
+                scans.append(ac_scan(ci, ss_, se_, 1, refine=False))
+        scans.append(dc_scan(0, refine=True))
+        for ci in range(ncomps):
+            for ss_, se_ in ((1, 5), (6, 63)):
+                scans.append(ac_scan(ci, ss_, se_, 0, refine=True))
 
     # Marker segments.
     def seg(marker: int, body: bytes) -> bytes:
@@ -333,18 +518,25 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += seg(0xFFC0, bytes(sof))                    # SOF0 baseline
+    out += seg(0xFFC2 if progressive else 0xFFC0, bytes(sof))
+    ac_tab = (_AC_PROG_BITS, _AC_PROG_VALS) if progressive \
+        else (_AC_BITS, _AC_VALS)
     for tc_th, bits, vals in (((0 << 4) | 0, _DC_BITS, _DC_VALS),
-                              ((1 << 4) | 0, _AC_BITS, _AC_VALS)):
+                              ((1 << 4) | 0, *ac_tab)):
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytearray([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])                  # DC table 0, AC table 0
-    sos += b"\x00\x3f\x00"                            # Ss, Se, Ah/Al
-    out += seg(0xFFDA, bytes(sos))
-    out += bw.out
+    if progressive:
+        for sos_body, entropy in scans:
+            out += seg(0xFFDA, sos_body)
+            out += entropy
+    else:
+        sos = bytearray([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])              # DC table 0, AC table 0
+        sos += b"\x00\x3f\x00"                        # Ss, Se, Ah/Al
+        out += seg(0xFFDA, bytes(sos))
+        out += bw.out
     out += b"\xff\xd9"                                # EOI
     return bytes(out)
 
@@ -428,16 +620,187 @@ def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
 
 
+def _reconstruct(height: int, width: int, comps, grids, qtabs) -> np.ndarray:
+    """Dequantize + IDCT every component (vectorized), upsample to full
+    resolution, crop, and convert to grayscale / RGB uint8."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for (cid, sh, sv, tq), grid in zip(comps, grids):
+        if tq not in qtabs:
+            raise ValueError("invalid JPEG: scan references a missing "
+                             f"quant table {tq}")
+        deq = (grid[..., INV_ZIGZAG].reshape(
+            grid.shape[0], grid.shape[1], 8, 8)
+            * qtabs[tq].astype(np.float64))
+        blocks = np.einsum("ji,byjk,kl->byil", DCT8, deq, DCT8)
+        by, bx = blocks.shape[:2]
+        plane = blocks.swapaxes(1, 2).reshape(by * 8, bx * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // sv, axis=0),
+                          hmax // sh, axis=1)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[..., None]
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(*planes)
+    raise NotImplementedError(f"{len(planes)}-component JPEG")
+
+
+def _ac_first_block(br: _BitReader, zz: np.ndarray, ac_t: dict,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """Decode one block of a first AC scan (T.81 G.2, Ah = 0); returns the
+    updated end-of-band run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:            # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # run includes this block
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("invalid JPEG: AC run past the spectral band")
+        zz[k] = _receive_extend(br, s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br: _BitReader, zz: np.ndarray, ac_t: dict,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """Decode one block of an AC refinement scan (T.81 G.2, Ah = Al + 1):
+    newly-nonzero coefficients arrive as run/size-1 + sign, previously-
+    nonzero ones take one correction bit each as the scan passes them."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                val = 0                    # ZRL: skip 16 zero-history coefs
+            else:
+                val = p1 if br.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bit() and not (int(zz[k]) & p1):
+                        zz[k] += p1 if zz[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.bit() and not (int(zz[k]) & p1):
+                    zz[k] += p1 if zz[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(payload: bytes, pos: int, frame, grids,
+                             huff, scan_sel, ss: int, se: int, ah: int,
+                             al: int, restart_interval: int) -> int:
+    """Decode one progressive scan's entropy segment into the coefficient
+    grids; returns the stream position after the scan. Restart units are
+    MCUs for interleaved (DC) scans and single blocks for non-interleaved
+    (single-component) scans."""
+    height, width, comps = frame
+    if ss == 0 and se != 0:
+        raise ValueError("invalid progressive JPEG: a DC scan (Ss=0) "
+                         "must have Se=0 (a baseline stream relabeled "
+                         "SOF2 looks exactly like this)")
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("invalid progressive JPEG: bad spectral band")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    units: list[list[tuple[int, int, int, int, int]]] = []
+    if len(scan_sel) > 1:
+        if ss != 0:
+            raise ValueError("invalid JPEG: interleaved progressive AC scan")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                u = []
+                for comp_idx, td, ta in scan_sel:
+                    _, sh, sv, _ = comps[comp_idx]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            u.append((comp_idx, my * sv + by, mx * sh + bx,
+                                      td, ta))
+                units.append(u)
+    else:
+        comp_idx, td, ta = scan_sel[0]
+        _, sh, sv, _ = comps[comp_idx]
+        bw_c = -(-(-(-width * sh // hmax)) // 8)
+        bh_c = -(-(-(-height * sv // vmax)) // 8)
+        units = [[(comp_idx, by, bx, td, ta)]
+                 for by in range(bh_c) for bx in range(bw_c)]
+
+    br = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            p = br.pos
+            while p + 1 < len(payload) and not (
+                    payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7):
+                p += 1
+            if p + 1 >= len(payload):
+                raise ValueError("truncated JPEG payload (missing RSTn)")
+            br.pos = p + 2
+            br.reset()
+            preds = [0] * len(comps)
+            eobrun = 0
+        for comp_idx, by, bx, td, ta in unit:
+            zz = grids[comp_idx][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    t = _decode_huff(br, huff[(0, td)])
+                    preds[comp_idx] += _receive_extend(br, t)
+                    zz[0] = preds[comp_idx] << al
+                elif br.bit():
+                    zz[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first_block(br, zz, huff[(1, ta)],
+                                         ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, zz, huff[(1, ta)],
+                                          ss, se, al, eobrun)
+    return br.pos
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG bytes to (H, W, channels) uint8
-    (channels 1 for grayscale, 3 for YCbCr→RGB). Arbitrary in-stream
-    Huffman/quant tables, any h×v sampling, DRI/RSTn restarts. Progressive
-    (SOF2) / arithmetic / 12-bit raise ``NotImplementedError``."""
+    """Decode baseline sequential (SOF0/1) or progressive (SOF2) JPEG bytes
+    to (H, W, channels) uint8 (channels 1 for grayscale, 3 for YCbCr→RGB).
+    Arbitrary in-stream Huffman/quant tables, any h×v sampling, DRI/RSTn
+    restarts; progressive streams may use spectral selection and successive
+    approximation in any legal scan script. Arithmetic coding / 12-bit /
+    hierarchical raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None          # (H, W, [(cid, sh, sv, tq), ...])
+    progressive = False
+    grids = None          # progressive: coefficient grids persist over scans
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -449,9 +812,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG payload (dangling marker byte)")
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+            continue                  # 0x00 = stuffed byte left by a scan
         if marker == 0xD9:                      # EOI
+            if progressive and grids is not None:
+                height, width, comps = frame
+                return _reconstruct(height, width, comps, grids, qtabs)
             break
         if pos + 2 > n:
             raise ValueError("truncated JPEG payload (cut segment header)")
@@ -480,7 +846,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + nv])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -489,10 +855,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic) not supported")
+                "non-sequential JPEG (arithmetic/lossless/hierarchical) "
+                "not supported")
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS — entropy data follows
@@ -500,9 +868,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("invalid JPEG: SOS before SOF")
             height, width, comps = frame
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG not supported")
             scan_sel = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
@@ -513,6 +878,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             vmax = max(c[2] for c in comps)
             mcux = -(-width // (8 * hmax))
             mcuy = -(-height // (8 * vmax))
+            if progressive:
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if grids is None:
+                    grids = [np.zeros((mcuy * c[2], mcux * c[1], 64),
+                                      np.int32) for c in comps]
+                pos = _decode_scan_progressive(
+                    payload, pos, frame, grids, huff, scan_sel,
+                    ss_, se_, ahal >> 4, ahal & 15, restart_interval)
+                continue                       # more scans may follow
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG not supported")
             # Per-component zigzag coefficient grids.
             grids = [np.zeros((mcuy * c[2], mcux * c[1], 64), np.int32)
                      for c in comps]
@@ -559,22 +937,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                     zz[k] = _receive_extend(br, s)
                                     k += 1
                     mcu_count += 1
-            # Dequantize + IDCT each component (vectorized), upsample, crop.
-            planes = []
-            for (cid, sh, sv, tq), grid in zip(comps, grids):
-                deq = (grid[..., INV_ZIGZAG].reshape(
-                    grid.shape[0], grid.shape[1], 8, 8)
-                    * qtabs[tq].astype(np.float64))
-                blocks = np.einsum("ji,byjk,kl->byil", DCT8, deq, DCT8)
-                by, bx = blocks.shape[:2]
-                plane = blocks.swapaxes(1, 2).reshape(by * 8, bx * 8) + 128.0
-                plane = np.repeat(np.repeat(plane, vmax // sv, axis=0),
-                                  hmax // sh, axis=1)
-                planes.append(plane[:height, :width])
-            if len(planes) == 1:
-                return np.clip(np.round(planes[0]), 0, 255) \
-                    .astype(np.uint8)[..., None]
-            if len(planes) == 3:
-                return _ycbcr_to_rgb(*planes)
-            raise NotImplementedError(f"{len(planes)}-component JPEG")
+            return _reconstruct(height, width, comps, grids, qtabs)
+    if progressive and grids is not None:
+        # Truncated progressive stream (missing EOI): reconstruct from the
+        # scans that did arrive — the format is designed for exactly this.
+        height, width, comps = frame
+        return _reconstruct(height, width, comps, grids, qtabs)
     raise ValueError("invalid JPEG: no scan data")

@@ -284,10 +284,10 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Dispatch by magic bytes: netpbm, PNG AND baseline JPEG all decode
-    HERE with no external library (see :func:`decode_png` and
-    operators/jpeg.py); the remaining image seam is exotic formats
-    (progressive JPEG, WebP/AVIF…) — plug Pillow/cv2 here for those."""
+    """Dispatch by magic bytes: netpbm, PNG, and JPEG (baseline AND
+    progressive) all decode HERE with no external library (see
+    :func:`decode_png` and operators/jpeg.py); the remaining image seam is
+    exotic formats (WebP/AVIF…) — plug Pillow/cv2 here for those."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
     if payload[:8] == _PNG_MAGIC:
@@ -297,8 +297,8 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     raise NotImplementedError(
         "unrecognized image payload magic — netpbm (P5/P6), PNG and "
-        "baseline JPEG decode natively; plug Pillow/cv2 here for exotic "
-        "formats (progressive JPEG, WebP, AVIF, ...)")
+        "JPEG (baseline + progressive) decode natively; plug Pillow/cv2 "
+        "here for exotic formats (WebP, AVIF, ...)")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
@@ -554,7 +554,8 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
     payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, filter type
     cycling over the PNG rows actually emitted so every unfilter path —
     None/Sub/Up/Average/Paeth — runs inside the driver gate), baseline
-    JPEGs (i % 8 == 4, alternating 4:4:4 and 4:2:0 with restart markers),
+    JPEGs (i % 8 == 4 — baseline 4:4:4 / 4:2:0 with restart markers, plus
+    progressive SOF2 at i >= 16),
     GIF videos (i % 16 == 14), and WAV clips — PCM-16 plus REAL compressed
     audio (G.711 μ-law/A-law, IMA ADPCM 4-bit; audio slots by i % 8, see
     below). Pure Python/numpy (no Spark) so the driver-side oracle twin
@@ -600,9 +601,16 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
                 png_count += 1
             elif i % 8 == 4:
                 from ficaria_spark.operators.jpeg import encode_jpeg
+                # i//8 in {0,1} -> baseline (4:4:4 / 4:2:0+restarts);
+                # i//8 in {2,3} -> PROGRESSIVE (spectral selection +
+                # successive approximation), so both JPEG modes decode
+                # inside the driver gate
+                prog = (i // 8) >= 2
                 payload = encode_jpeg(img, quality=90,
                                       subsample=(i // 8) % 2 == 1,
-                                      restart_interval=(i // 8) % 3)
+                                      restart_interval=0 if prog
+                                      else (i // 8) % 3,
+                                      progressive=prog)
             else:
                 payload = encode_netpbm(img)
             rows.append((i, "image", bytearray(payload)))

@@ -913,11 +913,67 @@ def test_jpeg_codec_roundtrip_determinism_and_conformance():
         decode_jpeg(b"\x00\x01garbage")
     with _pytest.raises(ValueError, match="truncated"):
         decode_jpeg(p[:-30])  # cut mid-entropy-stream
-    # flipping SOF0 (C0) to SOF2 (C2) must raise the progressive seam
+    # a baseline stream relabeled SOF2 is an INVALID progressive scan
+    # script (Ss=0 with Se=63) — must fail loudly, not decode garbage
     prog = bytearray(p)
     prog[prog.index(bytes([0xFF, 0xC0])) + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive|baseline"):
+    with _pytest.raises(ValueError, match="Ss=0"):
         decode_jpeg(bytes(prog))
+
+
+def test_jpeg_progressive_matches_baseline_bit_for_bit():
+    """Progressive JPEG (SOF2 — spectral selection + successive
+    approximation, T.81 G.1/G.2): the scan script quantizes the SAME
+    coefficients as baseline, so decode(progressive) must equal
+    decode(baseline) exactly, for every subsampling/grayscale/odd-size
+    combination. Flat and low-quality gradient payloads force the
+    EOB-run (EOBn + extension bits) and ZRL refinement paths; truncated
+    streams must fail loudly or reconstruct partial scans, never
+    silently corrupt."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:48, 0:37]
+    grad = np.stack([(yy * 5) % 256, (xx * 7) % 256, ((yy + xx) * 2) % 256],
+                    axis=-1).astype(np.uint8)
+    cases = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(21, 37, 3), dtype=np.uint8),
+        np.full((40, 33, 3), 77, np.uint8),        # flat -> max EOB runs
+        grad,                                       # smooth -> EOBn > 1
+        rng.integers(0, 256, size=(9, 9), dtype=np.uint8),   # grayscale
+        np.full((1, 1, 3), 200, np.uint8),
+    ]
+    for img in cases:
+        for sub in (False, True):
+            if img.ndim == 2 and sub:
+                continue
+            for q in (90, 10):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                pb = encode_jpeg(img, quality=q, subsample=sub,
+                                 progressive=True)
+                assert pb == encode_jpeg(img, quality=q, subsample=sub,
+                                         progressive=True)  # deterministic
+                assert np.array_equal(decode_jpeg(pb), base), (
+                    img.shape, sub, q)
+
+    # container is SOF2 with multiple SOS segments
+    pb = encode_jpeg(grad, quality=50, progressive=True)
+    assert bytes([0xFF, 0xC2]) in pb and pb.count(bytes([0xFF, 0xDA])) > 2
+    # progressive + restarts is an explicit error, not silent misencode
+    with _pytest.raises(ValueError, match="restart"):
+        encode_jpeg(grad, progressive=True, restart_interval=2)
+    # truncation: every cut either raises or yields a partial image of the
+    # right shape (progressive is DESIGNED to render from a prefix)
+    for cut in range(60, len(pb), max(1, len(pb) // 41)):
+        try:
+            r = decode_jpeg(pb[:cut])
+            assert r.shape == (48, 37, 3)
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_jpeg_rows_flow_through_media_gate_kernel(spark):
@@ -936,6 +992,11 @@ def test_jpeg_rows_flow_through_media_gate_kernel(spark):
     payloads = {r.item_id: bytes(r.payload) for r in imgs.collect()}
     jpeg_ids = [i for i, p in payloads.items() if p[:2] == b"\xff\xd8"]
     assert sorted(jpeg_ids) == [4, 12, 20, 28]  # i % 8 == 4 of 32
+    # slots 20/28 are PROGRESSIVE (SOF2) since the r6 codec extension;
+    # 4/12 stay baseline (SOF0) so both modes run inside the gate
+    for item_id in jpeg_ids:
+        is_prog = bytes([0xFF, 0xC2]) in payloads[item_id]
+        assert is_prog == (item_id >= 16), item_id
     feats = image_features(imgs, meta_col=None, use_fake_codec=False).toPandas()
     for item_id in jpeg_ids:
         img = _decode_image_real(payloads[item_id])
