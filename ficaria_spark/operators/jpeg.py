@@ -327,6 +327,21 @@ def _encode_ac_refine_block(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
             _emit_eobrun(bw, state)
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _comp_block_dims(height: int, width: int, sh: int, sv: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved block-raster dims (blocks high, blocks wide) of one
+    component: sample dims ceil(dim·s/smax), then ceil to whole 8×8 blocks
+    (T.81 A.1.1). Shared by encoder and decoder so their block rasters are
+    identical by construction."""
+    cw = _ceil_div(width * sh, hmax)
+    ch = _ceil_div(height * sv, vmax)
+    return _ceil_div(ch, 8), _ceil_div(cw, 8)
+
+
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate pad to multiples of (mh, mw)."""
     h, w = plane.shape
@@ -373,6 +388,9 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     h, w = img.shape[:2]
     if not (0 < h <= 65535 and 0 < w <= 65535):
         raise ValueError("image dimensions out of JPEG range")
+    if progressive and restart_interval:
+        raise ValueError("restart markers are unsupported with "
+                         "progressive=True (use one or the other)")
 
     qt_l = _ijg_scaled(QUANT_LUMA, quality)
     qt_c = _ijg_scaled(QUANT_CHROMA, quality)
@@ -408,10 +426,6 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         comp_zz.append(_encode_component_blocks(
             padded, qt_l if qi == 0 else qt_c))
 
-    if progressive and restart_interval:
-        raise ValueError("restart markers are unsupported with "
-                         "progressive=True (use one or the other)")
-
     scans: list[tuple[bytes, bytes]] = []   # (SOS body, entropy bytes)
     if not progressive:
         # Entropy-coded segment: MCU-interleaved block order (T.81 A.2.3).
@@ -442,11 +456,8 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         # block raster (non-interleaved dims), so MCU-padding blocks carry
         # DC only; they are cropped away at reconstruction.
         ncomps = len(planes)
-        comp_dims = []
-        for sh, sv in samp:
-            cw = -(-w * sh // hmax)
-            ch = -(-h * sv // vmax)
-            comp_dims.append((-(-ch // 8), -(-cw // 8)))
+        comp_dims = [_comp_block_dims(h, w, sh, sv, hmax, vmax)
+                     for sh, sv in samp]
 
         def dc_scan(al: int, refine: bool) -> tuple[bytes, bytes]:
             bwx = _BitWriter()
@@ -728,6 +739,15 @@ def _decode_scan_progressive(payload: bytes, pos: int, frame, grids,
                          "SOF2 looks exactly like this)")
     if not (0 <= ss <= se <= 63):
         raise ValueError("invalid progressive JPEG: bad spectral band")
+    for _, td, ta in scan_sel:
+        # DC-first scans Huffman-decode with table (0, td); AC scans (first
+        # AND refinement) with (1, ta); DC refinement reads raw bits only.
+        need = (0, td) if (ss == 0 and ah == 0) else \
+            (1, ta) if ss != 0 else None
+        if need is not None and need not in huff:
+            raise ValueError(
+                f"invalid JPEG: scan references undefined Huffman table "
+                f"(class {need[0]}, id {need[1]})")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-width // (8 * hmax))
@@ -749,8 +769,7 @@ def _decode_scan_progressive(payload: bytes, pos: int, frame, grids,
     else:
         comp_idx, td, ta = scan_sel[0]
         _, sh, sv, _ = comps[comp_idx]
-        bw_c = -(-(-(-width * sh // hmax)) // 8)
-        bh_c = -(-(-(-height * sv // vmax)) // 8)
+        bh_c, bw_c = _comp_block_dims(height, width, sh, sv, hmax, vmax)
         units = [[(comp_idx, by, bx, td, ta)]
                  for by in range(bh_c) for bx in range(bw_c)]
 
@@ -867,13 +886,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("invalid JPEG: SOS before SOF")
             height, width, comps = frame
+            if not body:
+                raise ValueError("invalid JPEG: empty SOS segment")
             ns = body[0]
+            if not 1 <= ns <= len(comps):
+                raise ValueError(
+                    f"invalid JPEG: SOS names {ns} components "
+                    f"(frame has {len(comps)})")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("invalid JPEG: SOS segment shorter than "
+                                 "its own component count implies")
             scan_sel = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
-                (comp_idx,) = [i for i, c in enumerate(comps)
-                               if c[0] == cs]
-                scan_sel.append((comp_idx, tdta >> 4, tdta & 15))
+                matches = [i for i, c in enumerate(comps) if c[0] == cs]
+                if len(matches) != 1:
+                    raise ValueError(
+                        f"invalid JPEG: SOS references component id {cs} "
+                        "not defined (exactly once) in SOF")
+                scan_sel.append((matches[0], tdta >> 4, tdta & 15))
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-width // (8 * hmax))
@@ -915,8 +946,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         preds = [0] * len(comps)
                     for comp_idx, td, ta in scan_sel:
                         _, sh, sv, _ = comps[comp_idx]
-                        dc_t = huff[(0, td)]
-                        ac_t = huff[(1, ta)]
+                        try:
+                            dc_t = huff[(0, td)]
+                            ac_t = huff[(1, ta)]
+                        except KeyError as exc:
+                            raise ValueError(
+                                "invalid JPEG: scan references undefined "
+                                f"Huffman table {exc.args[0]}") from None
                         for by in range(sv):
                             for bx in range(sh):
                                 zz = grids[comp_idx][my * sv + by,

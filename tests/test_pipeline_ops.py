@@ -976,6 +976,65 @@ def test_jpeg_progressive_matches_baseline_bit_for_bit():
             pass
 
 
+def test_jpeg_malformed_sos_fails_loudly():
+    """Corrupt SOS headers must raise ValueError('invalid JPEG: ...') like
+    every other corrupt-input path (truncation, missing tables, bad scan
+    scripts) — never an untyped IndexError/KeyError that would surface as
+    a raw Spark task failure inside the media gate kernel."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    def sos_offsets(p: bytes) -> list[int]:
+        """Offsets of each SOS marker's segment body (after len bytes)."""
+        offs, pos = [], 2
+        while pos + 1 < len(p):
+            if p[pos] != 0xFF or p[pos + 1] in (0x00, 0xD8, 0xD9) \
+                    or 0xD0 <= p[pos + 1] <= 0xD7:
+                pos += 1
+                continue
+            marker = p[pos + 1]
+            (ln,) = _struct.unpack_from(">H", p, pos + 2)
+            if marker == 0xDA:
+                offs.append(pos + 4)
+            pos += 2 + ln
+            if marker == 0xDA:
+                break   # entropy data follows; markers inside are RSTn
+        return offs
+
+    for prog in (False, True):
+        p = encode_jpeg(img, quality=90, progressive=prog)
+        (sos,) = sos_offsets(p)[:1] or [None]
+        assert sos is not None
+
+        ns0 = bytearray(p)
+        ns0[sos] = 0                      # Ns = 0
+        with _pytest.raises(ValueError, match="invalid JPEG"):
+            decode_jpeg(bytes(ns0))
+
+        short = bytearray(p)
+        # shrink the SOS seglen to 4 (body = just Ns + one byte)
+        _struct.pack_into(">H", short, sos - 2, 4)
+        with _pytest.raises(ValueError, match="invalid JPEG"):
+            decode_jpeg(bytes(short))
+
+        badcid = bytearray(p)
+        badcid[sos + 1] = 99              # first scan component id -> 99
+        with _pytest.raises(ValueError, match="invalid JPEG"):
+            decode_jpeg(bytes(badcid))
+
+        badtab = bytearray(p)
+        badtab[sos + 2] = 0x33            # Td=3/Ta=3: undefined tables
+        with _pytest.raises(ValueError, match="invalid JPEG"):
+            decode_jpeg(bytes(badtab))
+
+
 def test_jpeg_rows_flow_through_media_gate_kernel(spark):
     """The synthetic media table now carries baseline-JPEG payloads
     (i % 8 == 4: 4:4:4 and 4:2:0, with and without restart markers) and
