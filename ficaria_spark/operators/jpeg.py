@@ -373,7 +373,9 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
                 progressive: bool = False) -> bytes:
     """Encode (H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 to JFIF
     bytes. ``subsample=True`` emits 4:2:0 (2×2-mean chroma), else 4:4:4;
-    ``restart_interval=N`` emits DRI + RSTn every N MCUs (baseline only).
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs (in progressive
+    scans the interval counts MCUs for the interleaved DC scans and blocks
+    for the non-interleaved AC scans, per T.81 C.4).
     ``progressive=True`` emits a progressive (SOF2) stream whose scan
     script exercises both progressive features: successive approximation
     (DC and AC first scans at Al=1, then Ah=1→Al=0 refinement scans) and
@@ -388,9 +390,6 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     h, w = img.shape[:2]
     if not (0 < h <= 65535 and 0 < w <= 65535):
         raise ValueError("image dimensions out of JPEG range")
-    if progressive and restart_interval:
-        raise ValueError("restart markers are unsupported with "
-                         "progressive=True (use one or the other)")
 
     qt_l = _ijg_scaled(QUANT_LUMA, quality)
     qt_c = _ijg_scaled(QUANT_CHROMA, quality)
@@ -417,8 +416,8 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     vmax = max(s[1] for s in samp)
 
     # Per-component zigzag coefficient grids, padded to whole MCUs.
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    mcux = _ceil_div(w, 8 * hmax)
+    mcuy = _ceil_div(h, 8 * vmax)
     comp_zz = []
     for plane, (sh, sv), qi in zip(planes, samp, qsel):
         padded = _pad_to(np.clip(np.round(plane), 0, 255),
@@ -459,11 +458,26 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         comp_dims = [_comp_block_dims(h, w, sh, sv, hmax, vmax)
                      for sh, sv in samp]
 
+        def _emit_rst(bwx: _BitWriter, idx: int) -> None:
+            """Byte-align (1-bit padding, F.1.2.3) and append RSTn. Appended
+            raw to .out AFTER flush so the writer's 0xFF00 stuffing never
+            touches the marker (same pattern as the baseline scan above)."""
+            bwx.flush()
+            bwx.out += bytes([0xFF, 0xD0 + idx % 8])
+
         def dc_scan(al: int, refine: bool) -> tuple[bytes, bytes]:
             bwx = _BitWriter()
             preds = [0] * ncomps
+            mcu_count = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    # DC scans are interleaved: the restart interval counts
+                    # MCUs (T.81 C.4); predictors reset at each RSTn.
+                    if restart_interval and mcu_count \
+                            and mcu_count % restart_interval == 0:
+                        _emit_rst(bwx, mcu_count // restart_interval - 1)
+                        preds = [0] * ncomps
+                    mcu_count += 1
                     for ci, (sh, sv) in enumerate(samp):
                         for by in range(sv):
                             for bx in range(sh):
@@ -494,8 +508,18 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
             state = {"eobrun": 0, "pending": []}
             bh_c, bw_c = comp_dims[ci]
             block = _encode_ac_refine_block if refine else _encode_ac_first_block
+            bcount = 0
             for by in range(bh_c):
                 for bx in range(bw_c):
+                    # AC scans are non-interleaved: one block per MCU, so the
+                    # restart interval counts blocks. The pending EOB run and
+                    # its buffered correction bits flush BEFORE the marker —
+                    # EOB runs never cross a restart boundary (T.81 G.1.2.2).
+                    if restart_interval and bcount \
+                            and bcount % restart_interval == 0:
+                        _emit_eobrun(bwx, state)
+                        _emit_rst(bwx, bcount // restart_interval - 1)
+                    bcount += 1
                     block(bwx, comp_zz[ci][by, bx], ss_, se_, al, state)
             _emit_eobrun(bwx, state)
             bwx.flush()
@@ -750,8 +774,8 @@ def _decode_scan_progressive(payload: bytes, pos: int, frame, grids,
                 f"(class {need[0]}, id {need[1]})")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
+    mcux = _ceil_div(width, 8 * hmax)
+    mcuy = _ceil_div(height, 8 * vmax)
     units: list[list[tuple[int, int, int, int, int]]] = []
     if len(scan_sel) > 1:
         if ss != 0:
@@ -866,9 +890,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            if len(body) < 6:
+                raise ValueError("invalid JPEG: SOF segment shorter than "
+                                 "its fixed header")
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("invalid JPEG: SOF segment shorter than "
+                                 "its own component count implies")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
@@ -881,6 +911,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "non-sequential JPEG (arithmetic/lossless/hierarchical) "
                 "not supported")
         elif marker == 0xDD:                    # DRI
+            if len(body) < 2:
+                raise ValueError("invalid JPEG: DRI segment shorter than "
+                                 "2 bytes")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS — entropy data follows
             if frame is None:
@@ -919,60 +952,77 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     payload, pos, frame, grids, huff, scan_sel,
                     ss_, se_, ahal >> 4, ahal & 15, restart_interval)
                 continue                       # more scans may follow
-            if ns != len(comps):
+            if ns != len(comps) and not (ns == 1 and len(comps) == 1):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG not supported")
             # Per-component zigzag coefficient grids.
             grids = [np.zeros((mcuy * c[2], mcux * c[1], 64), np.int32)
                      for c in comps]
+            for _, td, ta in scan_sel:
+                if (0, td) not in huff or (1, ta) not in huff:
+                    raise ValueError(
+                        "invalid JPEG: scan references undefined Huffman "
+                        f"table (DC {td} / AC {ta})")
+            # MCU walk order (T.81 A.2): a single-component scan is
+            # non-interleaved — one block per MCU over the component's own
+            # block raster — even when the frame declares H,V > 1.
+            if ns == 1:
+                comp_idx0, td0, ta0 = scan_sel[0]
+                _, sh0, sv0, _ = comps[comp_idx0]
+                bh_c, bw_c = _comp_block_dims(
+                    height, width, sh0, sv0, hmax, vmax)
+                mcu_walk = ([(comp_idx0, by, bx, td0, ta0)]
+                            for by in range(bh_c) for bx in range(bw_c))
+            else:
+                def _interleaved_walk():
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            yield [(ci, my * sv + by, mx * sh + bx, td, ta)
+                                   for ci, td, ta in scan_sel
+                                   for sh, sv in (comps[ci][1:3],)
+                                   for by in range(sv) for bx in range(sh)]
+                mcu_walk = _interleaved_walk()
             br = _BitReader(payload, pos)
             preds = [0] * len(comps)
             mcu_count = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and mcu_count \
-                            and mcu_count % restart_interval == 0:
-                        # Skip to and consume the RSTn marker.
-                        p = br.pos
-                        while p + 1 < len(payload) and not (
-                                payload[p] == 0xFF
-                                and 0xD0 <= payload[p + 1] <= 0xD7):
-                            p += 1
-                        if p + 1 >= len(payload):
+            for mcu in mcu_walk:
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    # Skip to and consume the RSTn marker.
+                    p = br.pos
+                    while p + 1 < len(payload) and not (
+                            payload[p] == 0xFF
+                            and 0xD0 <= payload[p + 1] <= 0xD7):
+                        p += 1
+                    if p + 1 >= len(payload):
+                        raise ValueError(
+                            "truncated JPEG payload (missing RSTn)")
+                    br.pos = p + 2
+                    br.reset()
+                    preds = [0] * len(comps)
+                for comp_idx, by, bx, td, ta in mcu:
+                    dc_t = huff[(0, td)]
+                    ac_t = huff[(1, ta)]
+                    zz = grids[comp_idx][by, bx]
+                    t = _decode_huff(br, dc_t)
+                    preds[comp_idx] += _receive_extend(br, t)
+                    zz[0] = preds[comp_idx]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(br, ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break     # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
                             raise ValueError(
-                                "truncated JPEG payload (missing RSTn)")
-                        br.pos = p + 2
-                        br.reset()
-                        preds = [0] * len(comps)
-                    for comp_idx, td, ta in scan_sel:
-                        _, sh, sv, _ = comps[comp_idx]
-                        try:
-                            dc_t = huff[(0, td)]
-                            ac_t = huff[(1, ta)]
-                        except KeyError as exc:
-                            raise ValueError(
-                                "invalid JPEG: scan references undefined "
-                                f"Huffman table {exc.args[0]}") from None
-                        for by in range(sv):
-                            for bx in range(sh):
-                                zz = grids[comp_idx][my * sv + by,
-                                                     mx * sh + bx]
-                                t = _decode_huff(br, dc_t)
-                                preds[comp_idx] += _receive_extend(br, t)
-                                zz[0] = preds[comp_idx]
-                                k = 1
-                                while k < 64:
-                                    rs = _decode_huff(br, ac_t)
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r != 15:
-                                            break     # EOB
-                                        k += 16
-                                        continue
-                                    k += r
-                                    zz[k] = _receive_extend(br, s)
-                                    k += 1
-                    mcu_count += 1
+                                "invalid JPEG: AC run past block end")
+                        zz[k] = _receive_extend(br, s)
+                        k += 1
+                mcu_count += 1
             return _reconstruct(height, width, comps, grids, qtabs)
     if progressive and grids is not None:
         # Truncated progressive stream (missing EOI): reconstruct from the

@@ -284,10 +284,11 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Dispatch by magic bytes: netpbm, PNG, and JPEG (baseline AND
-    progressive) all decode HERE with no external library (see
-    :func:`decode_png` and operators/jpeg.py); the remaining image seam is
-    exotic formats (WebP/AVIF…) — plug Pillow/cv2 here for those."""
+    """Dispatch by magic bytes: netpbm, PNG, JPEG (baseline AND
+    progressive) and lossless WebP (VP8L) all decode HERE with no external
+    library (see :func:`decode_png`, operators/jpeg.py, operators/webp.py);
+    the remaining image seam is lossy WebP and exotic formats (AVIF…) —
+    plug Pillow/cv2 here for those."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
     if payload[:8] == _PNG_MAGIC:
@@ -295,10 +296,13 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from ficaria_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ficaria_spark.operators.webp import decode_webp
+        return decode_webp(payload)
     raise NotImplementedError(
-        "unrecognized image payload magic — netpbm (P5/P6), PNG and "
-        "JPEG (baseline + progressive) decode natively; plug Pillow/cv2 "
-        "here for exotic formats (WebP, AVIF, ...)")
+        "unrecognized image payload magic — netpbm (P5/P6), PNG, JPEG "
+        "(baseline + progressive) and lossless WebP decode natively; plug "
+        "Pillow/cv2 here for exotic formats (lossy WebP, AVIF, ...)")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
@@ -553,9 +557,11 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
     """Deterministic (item_id, kind, payload) rows with REAL decodable
     payloads — P6 PPM images, 8-bit RGB PNGs (i % 4 == 2, filter type
     cycling over the PNG rows actually emitted so every unfilter path —
-    None/Sub/Up/Average/Paeth — runs inside the driver gate), baseline
-    JPEGs (i % 8 == 4 — baseline 4:4:4 / 4:2:0 with restart markers, plus
-    progressive SOF2 at i >= 16),
+    None/Sub/Up/Average/Paeth — runs inside the driver gate), JPEGs
+    (i % 8 == 4 — baseline 4:4:4 / 4:2:0, progressive SOF2 at i >= 16,
+    restart intervals 0/1/2/3 by i//8), lossless WebPs (i % 32 == 16:
+    palette+bundling; i % 32 == 24: subtract-green/predictor/cross-color
+    + color cache + LZ77),
     GIF videos (i % 16 == 14), and WAV clips — PCM-16 plus REAL compressed
     audio (G.711 μ-law/A-law, IMA ADPCM 4-bit; audio slots by i % 8, see
     below). Pure Python/numpy (no Spark) so the driver-side oracle twin
@@ -599,18 +605,36 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
                 # filter 3/Average entirely — r6 review finding)
                 payload = encode_png(img, filter_type=png_count % 5)
                 png_count += 1
+            elif i % 32 == 16 or i % 32 == 24:
+                from ficaria_spark.operators.webp import encode_webp_lossless
+                if i % 32 == 16:
+                    # palette (color-indexing) WebP: <= 16 colors so the
+                    # indices bundle sub-byte (4 px/byte) and the delta-
+                    # coded palette path runs inside the gate
+                    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                    img = pal[img[..., 0] % 16]
+                    payload = encode_webp_lossless(img, palette=True,
+                                                   lz77=True)
+                else:
+                    # full VP8L transform chain: subtract-green ->
+                    # predictor (modes cycling per tile) -> cross-color,
+                    # color cache + LZ77 backward references
+                    payload = encode_webp_lossless(
+                        img, subtract_green=True, predictor=True,
+                        cross_color=True, cache_bits=6, lz77=True)
             elif i % 8 == 4:
                 from ficaria_spark.operators.jpeg import encode_jpeg
-                # i//8 in {0,1} -> baseline (4:4:4 / 4:2:0+restarts);
+                # i//8 in {0,1} -> baseline (4:4:4 / 4:2:0);
                 # i//8 in {2,3} -> PROGRESSIVE (spectral selection +
                 # successive approximation), so both JPEG modes decode
-                # inside the driver gate
-                prog = (i // 8) >= 2
+                # inside the driver gate. restart_interval = i//8 covers
+                # none/1/2/3 — interval > 1 bookkeeping (RSTn index wrap,
+                # mcu_count // interval) stays gate-exercised in BOTH modes
+                # (r6 review finding: progressive slots had dropped it).
                 payload = encode_jpeg(img, quality=90,
                                       subsample=(i // 8) % 2 == 1,
-                                      restart_interval=0 if prog
-                                      else (i // 8) % 3,
-                                      progressive=prog)
+                                      restart_interval=i // 8,
+                                      progressive=(i // 8) >= 2)
             else:
                 payload = encode_netpbm(img)
             rows.append((i, "image", bytearray(payload)))

@@ -963,9 +963,18 @@ def test_jpeg_progressive_matches_baseline_bit_for_bit():
     # container is SOF2 with multiple SOS segments
     pb = encode_jpeg(grad, quality=50, progressive=True)
     assert bytes([0xFF, 0xC2]) in pb and pb.count(bytes([0xFF, 0xDA])) > 2
-    # progressive + restarts is an explicit error, not silent misencode
-    with _pytest.raises(ValueError, match="restart"):
-        encode_jpeg(grad, progressive=True, restart_interval=2)
+    # progressive + restarts: DC scans restart per MCU, AC scans per block
+    # (T.81 C.4); the decode must still equal baseline exactly, and RSTn
+    # markers must actually be on the wire (DRI present, >= 1 RST0)
+    for ri in (1, 2, 3):
+        for sub in (False, True):
+            pr = encode_jpeg(grad, quality=50, subsample=sub,
+                             progressive=True, restart_interval=ri)
+            assert bytes([0xFF, 0xDD]) in pr and bytes([0xFF, 0xD0]) in pr
+            assert np.array_equal(
+                decode_jpeg(pr),
+                decode_jpeg(encode_jpeg(grad, quality=50, subsample=sub)),
+            ), (ri, sub)
     # truncation: every cut either raises or yields a partial image of the
     # right shape (progressive is DESIGNED to render from a prefix)
     for cut in range(60, len(pb), max(1, len(pb) // 41)):
@@ -974,6 +983,81 @@ def test_jpeg_progressive_matches_baseline_bit_for_bit():
             assert r.shape == (48, 37, 3)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 A.2: a single-component scan is non-interleaved — one block per
+    MCU over the component's own block raster — EVEN when the frame declares
+    sampling factors > 1. For a 1-component frame ceil(dim*s/smax) == dim,
+    so patching a grayscale SOF's H/V from 1x1 to 2x2 changes the MCU-walk
+    interpretation but NOT the actual block raster: a conformant decoder
+    must produce the identical image (the old walk expected sv*sh blocks
+    per MCU and desynced)."""
+    import numpy as np
+
+    from ficaria_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8), (9, 9), (24, 17)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        p = encode_jpeg(img, quality=90)
+        base = decode_jpeg(p)
+        sof = p.index(bytes([0xFF, 0xC0]))
+        hv_off = sof + 4 + 6 + 1        # marker+len, fixed header, cid
+        assert p[hv_off] == 0x11
+        patched = bytearray(p)
+        patched[hv_off] = 0x22
+        assert np.array_equal(decode_jpeg(bytes(patched)), base), shape
+
+
+def test_jpeg_corrupt_streams_raise_typed_errors_only():
+    """Decoder fail-loudly policy: ANY corrupt payload raises ValueError /
+    NotImplementedError — never an untyped IndexError/KeyError/struct.error
+    that would surface as a raw Spark task failure in the media kernel.
+    Covers truncated fixed-header segments (SOF/DRI) and a deterministic
+    byte-corruption sweep over a real entropy stream (which exercises the
+    AC run-past-block guard among others)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ficaria_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    # SOF body shorter than its fixed 6-byte header
+    p = b"\xff\xd8" + _struct.pack(">HH", 0xFFC0, 4) + b"\x08\x00" \
+        + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="invalid JPEG"):
+        decode_jpeg(p)
+    # SOF body shorter than its own component count implies
+    p = b"\xff\xd8" + _struct.pack(">HH", 0xFFC0, 8) \
+        + _struct.pack(">BHHB", 8, 8, 8, 3) + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="invalid JPEG"):
+        decode_jpeg(p)
+    # DRI body shorter than 2 bytes
+    p = b"\xff\xd8" + _struct.pack(">HH", 0xFFDD, 3) + b"\x00" + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="invalid JPEG"):
+        decode_jpeg(p)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    for prog in (False, True):
+        enc = encode_jpeg(img, quality=10, progressive=prog)
+        sos = enc.index(bytes([0xFF, 0xDA]))
+        (slen,) = _struct.unpack_from(">H", enc, sos + 2)
+        entropy0 = sos + 2 + slen
+        for off in range(entropy0, len(enc) - 2):
+            for nb in (0x00, 0x5A, 0xFF):
+                if enc[off] == nb:
+                    continue
+                bad = bytearray(enc)
+                bad[off] = nb
+                try:
+                    out = decode_jpeg(bytes(bad))
+                    assert out.shape == (24, 24, 3)   # desync-tolerant decode
+                except (ValueError, NotImplementedError):
+                    pass    # typed failure is the contract; anything else
+                            # (IndexError/KeyError/struct.error) propagates
 
 
 def test_jpeg_malformed_sos_fails_loudly():
