@@ -342,6 +342,14 @@ def _comp_block_dims(height: int, width: int, sh: int, sv: int,
     return _ceil_div(ch, 8), _ceil_div(cw, 8)
 
 
+def _emit_rst(bw: "_BitWriter", idx: int) -> None:
+    """Byte-align (1-bit padding, F.1.2.3) and append RSTn. Appended raw
+    to .out AFTER flush so the writer's 0xFF00 stuffing never touches the
+    marker. Shared by the baseline and progressive scan emitters."""
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + idx % 8])
+
+
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate pad to multiples of (mh, mw)."""
     h, w = plane.shape
@@ -435,9 +443,7 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
             for mx in range(mcux):
                 if restart_interval and mcu_count \
                         and mcu_count % restart_interval == 0:
-                    bw.flush()
-                    bw.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval
-                                                   - 1) % 8])
+                    _emit_rst(bw, mcu_count // restart_interval - 1)
                     preds = [0] * len(planes)
                 mcu_count += 1
                 for ci, (sh, sv) in enumerate(samp):
@@ -457,13 +463,6 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         ncomps = len(planes)
         comp_dims = [_comp_block_dims(h, w, sh, sv, hmax, vmax)
                      for sh, sv in samp]
-
-        def _emit_rst(bwx: _BitWriter, idx: int) -> None:
-            """Byte-align (1-bit padding, F.1.2.3) and append RSTn. Appended
-            raw to .out AFTER flush so the writer's 0xFF00 stuffing never
-            touches the marker (same pattern as the baseline scan above)."""
-            bwx.flush()
-            bwx.out += bytes([0xFF, 0xD0 + idx % 8])
 
         def dc_scan(al: int, refine: bool) -> tuple[bytes, bytes]:
             bwx = _BitWriter()
@@ -622,7 +621,12 @@ class _BitReader:
         if not self._nbits:
             self._fill()
         self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+        v = (self._acc >> self._nbits) & 1
+        # Truncate consumed high bits: without this the accumulator grows
+        # into an unbounded bignum and scan decode goes O(bytes^2)
+        # (measured 49.5 s for one restart-free 256x256 JPEG).
+        self._acc &= (1 << self._nbits) - 1
+        return v
 
     def bits(self, n: int) -> int:
         v = 0
@@ -940,8 +944,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_sel.append((matches[0], tdta >> 4, tdta & 15))
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
-            mcux = -(-width // (8 * hmax))
-            mcuy = -(-height // (8 * vmax))
+            mcux = _ceil_div(width, 8 * hmax)
+            mcuy = _ceil_div(height, 8 * vmax)
             if progressive:
                 ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
@@ -952,7 +956,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     payload, pos, frame, grids, huff, scan_sel,
                     ss_, se_, ahal >> 4, ahal & 15, restart_interval)
                 continue                       # more scans may follow
-            if ns != len(comps) and not (ns == 1 and len(comps) == 1):
+            if ns != len(comps):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG not supported")
             # Per-component zigzag coefficient grids.

@@ -608,9 +608,9 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
             elif i % 32 == 16 or i % 32 == 24:
                 from ficaria_spark.operators.webp import encode_webp_lossless
                 if i % 32 == 16:
-                    # palette (color-indexing) WebP: <= 16 colors so the
-                    # indices bundle sub-byte (4 px/byte) and the delta-
-                    # coded palette path runs inside the gate
+                    # palette (color-indexing) WebP: 16 colors -> 4-bit
+                    # indices bundled 2 px/byte (width_bits=1), plus the
+                    # delta-coded palette path, inside the gate
                     pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
                     img = pal[img[..., 0] % 16]
                     payload = encode_webp_lossless(img, palette=True,

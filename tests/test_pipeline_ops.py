@@ -985,6 +985,19 @@ def test_jpeg_progressive_matches_baseline_bit_for_bit():
             pass
 
 
+def test_jpeg_bitreader_accumulator_stays_bounded():
+    """The entropy bit reader must truncate consumed bits: an unbounded
+    Python-int accumulator turns scan decode O(bytes^2) (measured 49.5 s
+    for ONE restart-free 256x256 JPEG before the fix). Deterministic pin —
+    no wall-clock, immune to host steal."""
+    from ficaria_spark.operators.jpeg import _BitReader
+
+    br = _BitReader(bytes([0x55]) * 2048, 0)
+    for _ in range(8 * 2000):
+        br.bit()
+        assert br._acc.bit_length() <= 16
+
+
 def test_jpeg_single_component_scan_is_noninterleaved():
     """T.81 A.2: a single-component scan is non-interleaved — one block per
     MCU over the component's own block raster — EVEN when the frame declares
