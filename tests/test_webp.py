@@ -225,6 +225,66 @@ def test_corrupt_streams_raise_typed_errors_only():
                 pass
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYPOTHESIS = True
+except ImportError:                                   # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _flag_combos = st.fixed_dictionaries({
+        "subtract_green": st.booleans(),
+        "predictor": st.booleans(),
+        "cross_color": st.booleans(),
+        "lz77": st.booleans(),
+        "cache_bits": st.sampled_from([0, 1, 3, 8, 11]),
+    })
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 21), h=st.integers(1, 21),
+        channels=st.sampled_from([3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        flags=_flag_combos,
+        paletteish=st.booleans(),
+    )
+    def test_property_roundtrip_arbitrary_images(w, h, channels, seed,
+                                                 flags, paletteish):
+        """decode(encode(img, **flags)) == img for ARBITRARY image shapes,
+        channel counts and encoder feature combinations — the matrix test
+        covers chosen points; this establishes the property. `paletteish`
+        images (few distinct colors) stress the cache/simple-code edges
+        under every transform combination too."""
+        rng = np.random.default_rng(seed)
+        if paletteish:
+            pal = rng.integers(0, 256, size=(3, channels), dtype=np.uint8)
+            img = pal[rng.integers(0, 3, size=(h, w))]
+        else:
+            img = rng.integers(0, 256, size=(h, w, channels),
+                               dtype=np.uint8)
+        payload = encode_webp_lossless(img, **flags)
+        out = decode_webp(payload)
+        assert np.array_equal(out, img), flags
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 21), h=st.integers(1, 21),
+        ncolors=st.sampled_from([1, 2, 3, 4, 5, 16, 17, 200, 256]),
+        seed=st.integers(0, 2**31 - 1),
+        lz=st.booleans(),
+    )
+    def test_property_roundtrip_palette(w, h, ncolors, seed, lz):
+        """Color-indexing round-trips at every bundling width for arbitrary
+        shapes and palette sizes, including the 1-color degenerate image
+        and the 256-color boundary."""
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncolors, size=(h, w))]
+        payload = encode_webp_lossless(img, palette=True, lz77=lz)
+        assert np.array_equal(decode_webp(payload), img)
+
+
 def test_media_dispatch_decodes_webp():
     """_decode_image_real routes RIFF/WEBP payloads to the native VP8L
     decoder (the seam docstring now lists WebP as decodable)."""
