@@ -103,14 +103,20 @@ def encode_netpbm(img: np.ndarray) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL audio decode for WAV payloads — no external codec. Returns
-    ((n_samples, n_channels) float64 in [-1, 1], sample_rate). Integer PCM
-    8/16/32-bit decodes via the stdlib ``wave`` module (bit-identical to
-    every earlier round); compressed/non-integer tags (G.711 μ-law/A-law,
-    IMA ADPCM, IEEE float) dispatch to operators/audio.py."""
+    """REAL audio decode for WAV and FLAC payloads — no external codec.
+    Returns ((n_samples, n_channels) float64 in [-1, 1], sample_rate).
+    Integer PCM 8/16/32-bit decodes via the stdlib ``wave`` module
+    (bit-identical to every earlier round); compressed/non-integer tags
+    (G.711 μ-law/A-law, IMA ADPCM, IEEE float) dispatch to
+    operators/audio.py; ``fLaC`` payloads to operators/flac.py."""
     import io
     import struct
     import wave
+
+    if payload[:4] == b"fLaC":
+        from ficaria_spark.operators.flac import decode_flac
+        pcm, rate, bps = decode_flac(payload)
+        return pcm.astype(np.float64) / float(1 << (bps - 1)), rate
 
     if payload[:4] == b"RIFF" and len(payload) >= 22:
         # peek the fmt tag without the wave module (it rejects non-PCM)
@@ -644,10 +650,25 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
             tone = (0.5 * np.sin(2 * np.pi * float(rng.integers(100, 800)) * t)
                     * 32767).astype("<i2")
             # audio slots by i % 8: 1 → PCM-16 (the original stdlib-wave
-            # path, byte-identical to earlier rounds), 3 → G.711 μ-law,
-            # 5 → IMA ADPCM (real 4-bit compression), 7 → G.711 A-law —
-            # every decoder in operators/audio.py runs inside the gate
-            if i % 8 == 1:
+            # path, byte-identical to earlier rounds) except i%32∈{17,25}
+            # which carry FLAC (operators/flac.py — 17: mono fixed-
+            # prediction + Rice partitions; 25: stereo mid/side),
+            # 3 → G.711 μ-law, 5 → IMA ADPCM (real 4-bit compression),
+            # 7 → G.711 A-law — every audio decoder runs inside the gate
+            if i % 32 in (17, 25):
+                from ficaria_spark.operators.flac import encode_flac
+                pcm = tone.astype(np.int64)
+                if i % 32 == 25:
+                    # second channel: scaled + delayed copy (decorrelates
+                    # enough that mid/side carries a real side signal)
+                    other = np.roll((pcm * 3) // 4, 7)
+                    pcm = np.stack([pcm, other], axis=1)
+                payload = encode_flac(
+                    pcm, rate, block_size=1024, partition_order=2,
+                    lpc_order=8 if i % 32 == 17 else 0,
+                    stereo_mode="mid_side" if i % 32 == 25
+                    else "independent")
+            elif i % 8 == 1:
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)
