@@ -379,6 +379,13 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
             break
     if not channels_out:
         raise ValueError("invalid FLAC: no audio frames")
+    if streaminfo["total_samples"] and total < streaminfo["total_samples"]:
+        # a payload cut at a frame boundary parses cleanly but short —
+        # STREAMINFO knows the real length, so fail loudly, never return
+        # a silently truncated signal
+        raise ValueError(
+            f"truncated FLAC payload ({total} of "
+            f"{streaminfo['total_samples']} samples decoded)")
     nch = len(channels_out[0])
     if any(len(f) != nch for f in channels_out):
         raise ValueError("invalid FLAC: channel count changed mid-stream")
@@ -423,11 +430,15 @@ def _write_residual(bw: _Writer, resid: np.ndarray, blocksize: int,
         if force_escape:
             mx = int(np.abs(part).max()) if len(part) else 0
             raw = max(2, mx.bit_length() + 1)   # signed width, min 2
-            bw.put(0xF, 4)                  # escape
-            bw.put(raw, 5)
-            for v in part:
-                bw.put_signed(int(v), raw)
-            continue
+            if raw <= 31:                   # 5-bit field: 31 is the widest
+                bw.put(0xF, 4)              # escape
+                bw.put(raw, 5)
+                for v in part:
+                    bw.put_signed(int(v), raw)
+                continue
+            # residuals too wide for an escape partition: fall back to
+            # Rice for this partition (force_escape is a test pin, and a
+            # truncated width would corrupt the stream)
         param, _ = _best_rice_param(part) if len(part) else (0, 0)
         bw.put(param, 4)
         for v in part:
@@ -590,13 +601,25 @@ def encode_flac(pcm: np.ndarray, rate: int, *, bps: int = 16,
         raise ValueError("partition_order must be in 0..7")
     if not 0 <= lpc_order <= 32:
         raise ValueError("lpc_order must be in 0..32")
+    if not 1 <= block_size <= 65535:
+        raise ValueError("block_size must be in 1..65535 (16-bit frame "
+                         "header field)")
+    if not 1 <= rate < 1 << 20:
+        raise ValueError("sample rate must be in 1..2^20-1 (20-bit "
+                         "STREAMINFO field)")
 
     pcm = pcm.astype(np.int64)
     md5 = hashlib.md5()
     width = (bps + 7) // 8
-    inter = pcm.astype("<i8").reshape(-1)
-    md5.update(b"".join(int(v).to_bytes(width, "little", signed=True)
-                        for v in inter))
+    # RFC MD5 of the interleaved little-endian signed signal, vectorized:
+    # whole-byte widths map straight to an int dtype; 3-byte widths are
+    # the low 3 bytes of the <i4 two's-complement representation
+    inter = pcm.reshape(-1)
+    if width == 3:
+        md5.update(inter.astype("<i4").view(np.uint8)
+                   .reshape(-1, 4)[:, :3].tobytes())
+    else:
+        md5.update(inter.astype(f"<i{width}").tobytes())
 
     frames = bytearray()
     frame_no = 0

@@ -651,8 +651,9 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
                     * 32767).astype("<i2")
             # audio slots by i % 8: 1 → PCM-16 (the original stdlib-wave
             # path, byte-identical to earlier rounds) except i%32∈{17,25}
-            # which carry FLAC (operators/flac.py — 17: mono fixed-
-            # prediction + Rice partitions; 25: stereo mid/side),
+            # which carry FLAC (operators/flac.py — 17: mono with LPC
+            # order 8 offered (cost-selected) + Rice partitions; 25:
+            # stereo mid/side, fixed prediction only),
             # 3 → G.711 μ-law, 5 → IMA ADPCM (real 4-bit compression),
             # 7 → G.711 A-law — every audio decoder runs inside the gate
             if i % 32 in (17, 25):

@@ -119,6 +119,42 @@ def test_out_of_range_inputs_rejected():
         encode_flac(np.zeros(10, np.int64), 8000, stereo_mode="mid_side")
     with pytest.raises(ValueError, match="bps"):
         encode_flac(np.zeros(10, np.int64), 8000, bps=13)
+    # r6 review findings: spec-field limits validated upfront as
+    # ValueError, never a late struct.error
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(np.zeros(10, np.int64), 8000, block_size=65536)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(np.zeros(10, np.int64), 8000, block_size=0)
+    with pytest.raises(ValueError, match="rate"):
+        encode_flac(np.zeros(10, np.int64), 1 << 20)
+
+
+def test_frame_boundary_truncation_raises():
+    """A payload cut at a FRAME boundary parses cleanly frame-by-frame;
+    STREAMINFO total_samples must catch it (r6 review finding: silently
+    returning a short signal breaks the typed-error -> NaN gate policy)."""
+    tone = _tone(4000)
+    payload = encode_flac(tone, 8000, block_size=512)
+    short = 0
+    for cut in range(50, len(payload)):
+        try:
+            out, _, _ = decode_flac(payload[:cut])
+            assert out.shape[0] == 4000   # only a FULL decode may succeed
+            short += 0
+        except ValueError:
+            pass
+
+
+def test_escape_partition_wide_residuals_fall_back_to_rice():
+    """force_escape with residuals wider than the 5-bit raw field must
+    not truncate the width (r6 review finding: raw=32 wrapped to 0 and
+    produced a stream that failed its own CRC)."""
+    pcm = np.zeros(8192, np.int64)
+    pcm[100] = 2**30 + 12345
+    payload = encode_flac(pcm, 8000, bps=32, force_escape=True,
+                          block_size=8192)
+    out, _, _ = decode_flac(payload)
+    assert np.array_equal(out[:, 0], pcm)
 
 
 def test_decode_wav_dispatches_flac():
