@@ -919,29 +919,26 @@ def simhash_band_layout(max_hamming: int, nbits: int) -> tuple[list[int], list[i
     return widths, [int(o) for o in offsets]
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       *, max_hamming: int = 3, seed: int = 29,
-                       word_hash: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via banded pigeonhole:
-    the signature bits are split into ``bands = max_hamming + 1`` contiguous
-    slices, so any pair within the radius agrees on at least one full band —
-    candidates join only inside band buckets, guaranteeing recall for the
-    requested radius.
-
-    Cost/recall contract: wider radii mean narrower bands (nbits // bands),
-    i.e. coarser buckets and more candidates. That is the price of exact recall;
-    callers wanting cheaper approximate behaviour should lower ``max_hamming``.
-    """
+def hamming_near_pairs(sigs: DataFrame, *, id_col: str = "id",
+                       hash_col: str = "simhash", max_hamming: int = 3,
+                       nbits: int = 64) -> DataFrame:
+    """Pairs with Hamming(hash) ≤ max_hamming over ANY integer-signature
+    frame — banded pigeonhole: the ``nbits`` signature bits split into
+    ``max_hamming + 1`` contiguous slices, so any pair within the radius
+    agrees on at least one full band; candidates join only inside band
+    buckets (guaranteed recall), then an exact ``bit_count(xor)`` verify.
+    Shared by the text (simhash) and image (phash) near-dup operators —
+    returns (id_a, id_b, hamming). Input should be persisted by the
+    caller when the signature is expensive (both sides of the self-join
+    reference it)."""
     if not 0 <= max_hamming <= 31:
         # bands must be ≥ 2 bits wide for the bucket key to prune anything
         raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}.")
-    nbits = 60 if word_hash == "md5" else 64
-    # both sides of the banded self-join reference the signature plan
-    sigs = tracked_persist(simhash(df, text_col, id_col, seed=seed, word_hash=word_hash))
     widths, offsets = simhash_band_layout(max_hamming, nbits)
     bands = max_hamming + 1
+
     def _band_struct(b: int):
-        bucket = F.shiftrightunsigned("simhash", int(offsets[b]))
+        bucket = F.shiftrightunsigned(hash_col, int(offsets[b]))
         if widths[b] < 64:
             # a full-width band (max_hamming=0, 64-bit hash) needs no mask —
             # and (1 << 64) - 1 would overflow the long literal
@@ -950,15 +947,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     band_structs = [_band_struct(b) for b in range(bands)]
     banded = sigs.select(
-        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "simhash", "bb.band", "bb.bucket")
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_h"),
+        F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "_h", "bb.band", "bb.bucket")
     x, y = banded.alias("x"), banded.alias("y")
     pairs = (
         x.join(y, (F.col("x.band") == F.col("y.band"))
                & (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-                F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"))
+                F.col("x._h").alias("sh_a"), F.col("y._h").alias("sh_b"))
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -967,3 +965,21 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       *, max_hamming: int = 3, seed: int = 29,
+                       word_hash: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via banded pigeonhole
+    (see :func:`hamming_near_pairs` — the banding/verify core is shared with
+    the image-phash near-dup operator).
+
+    Cost/recall contract: wider radii mean narrower bands (nbits // bands),
+    i.e. coarser buckets and more candidates. That is the price of exact recall;
+    callers wanting cheaper approximate behaviour should lower ``max_hamming``.
+    """
+    nbits = 60 if word_hash == "md5" else 64
+    # both sides of the banded self-join reference the signature plan
+    sigs = tracked_persist(simhash(df, text_col, id_col, seed=seed, word_hash=word_hash))
+    return hamming_near_pairs(sigs, id_col="id", hash_col="simhash",
+                              max_hamming=max_hamming, nbits=nbits)

@@ -311,6 +311,94 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         "Pillow/cv2 here for exotic formats (lossy WebP, AVIF, ...)")
 
 
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)[:, None].astype(np.float64)
+        n_ = np.arange(32)[None, :].astype(np.float64)
+        _DCT32 = (np.cos(np.pi * (2 * n_ + 1) * k / 64)
+                  * np.where(k == 0, np.sqrt(1 / 32), np.sqrt(2 / 32)))
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (pHash): grayscale by channel mean,
+    nearest-neighbor resample to 32×32, orthonormal 2D DCT-II, top-left
+    8×8 low-frequency block, bit i = coefficient_i > median(block).
+    Returned as a SIGNED 64-bit value (Spark LongType). Deterministic and
+    invariant across LOSSLESS re-encodes — the PNG/WebP/netpbm encodings
+    of the same pixels hash identically (test-pinned), and small pixel
+    perturbations move few bits, which is what the Hamming-banded
+    near-dup join exploits. Shared by the Spark kernel and the driver
+    oracle twin (structural parity)."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    iy = (np.arange(32) * h) // 32
+    ix = (np.arange(32) * w) // 32
+    small = a[iy][:, ix]
+    d = _dct32()
+    low = (d @ small @ d.T)[:8, :8]
+    med = float(np.median(low))
+    v = 0
+    for i, b in enumerate((low > med).reshape(-1)):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_phash(
+    df: DataFrame, *, payload_col: str = "payload",
+    use_fake_codec: bool = False, fake_dims: tuple[int, int, int] = (32, 32, 3),
+) -> DataFrame:
+    """Decode → :func:`phash64` per row (``phash`` bigint; payload column
+    dropped on output — same stage contract as image_features). Null
+    payloads yield null phash, never a dead stage."""
+    schema = _schema_minus(df, payload_col, "phash bigint")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    hashes.append(None)
+                    continue
+                img = (_decode_image_fake(bytes(payload), *fake_dims)
+                       if use_fake_codec
+                       else _decode_image_real(bytes(payload)))
+                hashes.append(phash64(img))
+            out = pdf.drop(columns=[payload_col]).copy()
+            out["phash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def image_near_pairs(
+    df: DataFrame, *, id_col: str = "item_id", payload_col: str = "payload",
+    max_hamming: int = 10, use_fake_codec: bool = False,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash + the same banded
+    pigeonhole Hamming join the text family uses
+    (dedup.hamming_near_pairs — guaranteed recall at the radius, exact
+    bit_count verify). 100 TB shape: the payload column is dropped at the
+    phash stage, so only (id, 8-byte hash) ever shuffles; candidates join
+    inside band buckets only. Returns (id_a, id_b, hamming)."""
+    from ficaria_spark.operators.dedup import hamming_near_pairs
+    from ficaria_spark.plans.cache import tracked_persist
+
+    sigs = image_phash(df.select(id_col, payload_col),
+                       payload_col=payload_col,
+                       use_fake_codec=use_fake_codec)
+    sigs = tracked_persist(sigs.where(F.col("phash").isNotNull()))
+    return hamming_near_pairs(sigs, id_col=id_col, hash_col="phash",
+                              max_hamming=max_hamming)
+
+
 def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Deterministic stand-in: pixels derived from the payload digest, so
     downstream feature math is real and reproducible."""

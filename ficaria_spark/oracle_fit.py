@@ -925,7 +925,7 @@ def media_features_expected(n: int = 32, seed: int = 6):
     bit-identical float64, the structural-parity pattern the FCKI/DT twins
     established."""
     from ficaria_spark.operators.multimodal import (
-        _decode_image_real, decode_wav, synthetic_media_rows)
+        _decode_image_real, decode_wav, phash64, synthetic_media_rows)
 
     from ficaria_spark.operators.gif import decode_gif
 
@@ -956,6 +956,13 @@ def media_features_expected(n: int = 32, seed: int = 6):
                 out.append((item_id, kind, f"chan_std_{j}", float(stds[j])))
             for j in range(8):
                 out.append((item_id, kind, f"lum_hist_{j}", float(hist[j])))
+            # same shared phash64; unsigned view split into exact 16-bit
+            # quarters (mirrors the Spark shiftrightunsigned/mask — small
+            # enough to survive both engines' round(x, 6) exactly)
+            u = phash64(img) & ((1 << 64) - 1)
+            for q in range(4):
+                out.append((item_id, kind, f"phash_q{q}",
+                            float((u >> (16 * q)) & 0xFFFF)))
         else:
             x, rate = decode_wav(bytes(payload))
             mono = x.mean(axis=1)

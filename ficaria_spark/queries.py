@@ -1249,11 +1249,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation computed by oracle_fit.media_features_expected from the same
     generator + decoders (pure numpy/stdlib, no Spark)."""
     from ficaria_spark.operators.multimodal import (
-        audio_features, image_features, synthetic_media_table, video_features)
+        audio_features, image_features, image_phash, synthetic_media_table,
+        video_features)
 
     media = synthetic_media_table(spark, n=32, seed=6)
     img = image_features(media.where("kind = 'image'"), meta_col=None,
                          use_fake_codec=False)
+    ph = image_phash(media.where("kind = 'image'"))
     au = audio_features(media.where("kind = 'audio'"))
     vid = video_features(media.where("kind = 'video'"))
 
@@ -1269,6 +1271,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         img_feats.append(F.struct(
             F.lit(f"lum_hist_{j}").alias("feature"),
             F.element_at("lum_hist", j + 1).alias("value")))
+    # the 64-bit perceptual hash rides the gate as four exact 16-bit
+    # quarters: values ≤ 65535 survive both engines' round(x, 6) exactly,
+    # where 32-bit halves hit a DuckDB 1-ULP rounding artifact (the
+    # round-scale-vs-magnitude trap from the float-hygiene notes)
+    ph_feats = [
+        F.struct(F.lit(f"phash_q{q}").alias("feature"),
+                 F.shiftrightunsigned("phash", 16 * q)
+                 .bitwiseAND(F.lit(0xFFFF)).cast("double").alias("value"))
+        for q in range(4)
+    ]
     au_feats = [
         F.struct(F.lit(c).alias("feature"), F.col(c).alias("value"))
         for c in ("duration_s", "rms", "peak", "zcr")]
@@ -1284,6 +1296,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("f.value"), 6).alias("value"))
 
     return (long_form(img, img_feats)
+            .unionByName(long_form(ph, ph_feats))
             .unionByName(long_form(au, au_feats))
             .unionByName(long_form(vid, vid_feats)))
 
