@@ -978,6 +978,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     i.e. coarser buckets and more candidates. That is the price of exact recall;
     callers wanting cheaper approximate behaviour should lower ``max_hamming``.
     """
+    if not 0 <= max_hamming <= 31:
+        # validate BEFORE persisting the signature plan — an invalid call
+        # must not leave an orphaned persist handle in the cache registry
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}.")
     nbits = 60 if word_hash == "md5" else 64
     # both sides of the banded self-join reference the signature plan
     sigs = tracked_persist(simhash(df, text_col, id_col, seed=seed, word_hash=word_hash))

@@ -409,25 +409,31 @@ def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -
 
 def image_features(
     df: DataFrame, *, payload_col: str = "payload", meta_col: str | None = "meta",
-    use_fake_codec: bool = True,
+    use_fake_codec: bool = True, with_phash: bool = False,
 ) -> DataFrame:
     """Decode → per-channel mean/std + 8-bucket luminance histogram.
 
     One mapInPandas pass; output drops the payload (features only), so the
     binary column never shuffles. ``meta_col=None`` is allowed with the real
     codec (self-describing payloads like netpbm carry their own dimensions).
+    ``with_phash=True`` also emits :func:`phash64` from the SAME decode —
+    callers needing both features and the perceptual hash (e.g. the media
+    gate) avoid a second decode pass.
     """
     if meta_col is None and use_fake_codec:
         raise ValueError("meta_col=None requires use_fake_codec=False "
                          "(the fake codec needs width/height/channels)")
-    schema = _schema_minus(
-        df, payload_col,
-        "chan_mean array<double>, chan_std array<double>, lum_hist array<double>")
+    extras = ("chan_mean array<double>, chan_std array<double>, "
+              "lum_hist array<double>")
+    if with_phash:
+        extras += ", phash bigint"
+    schema = _schema_minus(df, payload_col, extras)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nan3 = [float("nan")] * 3
         for pdf in batches:
             means, stds, hists = [], [], []
+            hashes: list[int | None] = []
             metas = pdf[meta_col] if meta_col is not None else [None] * len(pdf)
             for payload, meta in zip(pdf[payload_col], metas):
                 if payload is None:
@@ -436,6 +442,7 @@ def image_features(
                     # row alignment preserved
                     means.append(nan3); stds.append(nan3)
                     hists.append([float("nan")] * 8)
+                    hashes.append(None)
                     continue
                 if use_fake_codec:
                     img = _decode_image_fake(
@@ -448,10 +455,14 @@ def image_features(
                 lum = px.mean(axis=1)
                 hist, _ = np.histogram(lum, bins=8, range=(0, 256))
                 hists.append(hist / max(len(lum), 1))
+                if with_phash:
+                    hashes.append(phash64(img))
             out = pdf.drop(columns=[payload_col]).copy()
             out["chan_mean"] = means
             out["chan_std"] = stds
             out["lum_hist"] = hists
+            if with_phash:
+                out["phash"] = pd.array(hashes, dtype="Int64")
             yield out
 
     return df.mapInPandas(run, schema)

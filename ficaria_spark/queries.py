@@ -1249,13 +1249,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation computed by oracle_fit.media_features_expected from the same
     generator + decoders (pure numpy/stdlib, no Spark)."""
     from ficaria_spark.operators.multimodal import (
-        audio_features, image_features, image_phash, synthetic_media_table,
-        video_features)
+        audio_features, image_features, synthetic_media_table, video_features)
 
     media = synthetic_media_table(spark, n=32, seed=6)
+    # with_phash: the perceptual hash comes out of the SAME decode pass as
+    # the channel features — one decode per payload, not two
     img = image_features(media.where("kind = 'image'"), meta_col=None,
-                         use_fake_codec=False)
-    ph = image_phash(media.where("kind = 'image'"))
+                         use_fake_codec=False, with_phash=True)
     au = audio_features(media.where("kind = 'audio'"))
     vid = video_features(media.where("kind = 'video'"))
 
@@ -1296,7 +1296,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("f.value"), 6).alias("value"))
 
     return (long_form(img, img_feats)
-            .unionByName(long_form(ph, ph_feats))
+            .unionByName(long_form(img, ph_feats))
             .unionByName(long_form(au, au_feats))
             .unionByName(long_form(vid, vid_feats)))
 

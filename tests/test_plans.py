@@ -179,6 +179,31 @@ def test_aqe_skew_join_split_engages(spark):
         f"skew join did not split: {with_split} tasks <= {n_shuffle} partitions")
 
 
+def test_image_near_pairs_shuffles_hash_not_payload(spark):
+    """The image near-dup scale claim is structural: the binary payload is
+    dropped at the phash mapInPandas stage, so every exchange downstream
+    carries only (id, 8-byte hash, band, bucket) — a payload column in a
+    shuffle would move the whole corpus over the wire at 100 TB."""
+    import numpy as np
+
+    from ficaria_spark.operators.multimodal import (
+        encode_netpbm, image_near_pairs)
+
+    rng = np.random.default_rng(4)
+    rows = [(i, bytearray(encode_netpbm(
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))))
+        for i in range(6)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    pairs = image_near_pairs(df, max_hamming=6)
+    plan = _formatted(pairs)
+    # the payload column name must not appear in any exchange/sort/join
+    # operator line of the formatted plan
+    for line in plan.splitlines():
+        if re.search(r"Exchange|Sort |Join", line):
+            assert "payload" not in line, line
+    assert "MapInPandas" in plan.replace("MapInPandasExec", "MapInPandas")
+
+
 def test_bloom_decontaminate_plan_has_no_join(spark, sf_dir):
     """The bloom method's scale claim is structural: the train shingle
     stream takes NO join (membership is a map-only Arrow probe against

@@ -15,8 +15,8 @@ pinned subprocess per parallelism level, interleaved reps — the bench.py
 --scaling methodology) read it, run image_features(real codec) +
 audio_features + video_features, and report wall + rows/s.
 
-Run:  python tools/probe_media_scale.py            (N=1024, local[8] vs local[32])
-      SPARK_GRAFT_MEDIA_PROBE_N=4096 python tools/probe_media_scale.py
+Run:  python tools/probe_media_scale.py            (N=8192, local[8] vs local[32])
+      SPARK_GRAFT_MEDIA_PROBE_N=2048 python tools/probe_media_scale.py
 """
 from __future__ import annotations
 
@@ -87,8 +87,11 @@ def main() -> None:
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                str(cores)]
         if shutil.which("taskset"):
+            # pin to EXACTLY `cores` CPUs — giving the low-core child
+            # driver-slack CPUs the high-core child can't have inflates
+            # its throughput and biases the efficiency ratio (r6 review)
             cmd = ["taskset", "-c",
-                   f"0-{min(cores + 1, (os.cpu_count() or 32) - 1)}"] + cmd
+                   f"0-{min(cores, os.cpu_count() or 32) - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
