@@ -305,10 +305,15 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ficaria_spark.operators.webp import decode_webp
         return decode_webp(payload)
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 \
+            and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        from ficaria_spark.operators.tiff import decode_tiff
+        return decode_tiff(payload)
     raise NotImplementedError(
         "unrecognized image payload magic — netpbm (P5/P6), PNG, JPEG "
-        "(baseline + progressive) and lossless WebP decode natively; plug "
-        "Pillow/cv2 here for exotic formats (lossy WebP, AVIF, ...)")
+        "(baseline + progressive), lossless WebP and baseline TIFF decode "
+        "natively; plug Pillow/cv2 here for exotic formats (lossy WebP, "
+        "AVIF, ...)")
 
 
 _DCT32 = None
@@ -666,7 +671,9 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
     (i % 8 == 4 — baseline 4:4:4 / 4:2:0, progressive SOF2 at i >= 16,
     restart intervals 0/1/2/3 by i//8), lossless WebPs (i % 32 == 16:
     palette+bundling; i % 32 == 24: subtract-green/predictor/cross-color
-    + color cache + LZ77),
+    + color cache + LZ77), a baseline TIFF (i % 32 == 22: LZW strips +
+    horizontal predictor — steals one PNG slot; the remaining 5 PNG rows
+    still cover all five filter types),
     GIF videos (i % 16 == 14), and WAV clips — PCM-16 plus REAL compressed
     audio (G.711 μ-law/A-law, IMA ADPCM 4-bit; audio slots by i % 8, see
     below). Pure Python/numpy (no Spark) so the driver-side oracle twin
@@ -704,7 +711,16 @@ def synthetic_media_rows(n: int = 32, seed: int = 6) -> list[tuple[int, str, byt
         elif i % 2 == 0:
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 4 == 2:
+            if i % 32 == 22:
+                # baseline TIFF (operators/tiff.py): LZW + horizontal-
+                # predictor strips — the LZW early-change and predictor
+                # inverse paths run inside the gate. Steals one PNG slot;
+                # the remaining 5 PNG rows still cycle through all five
+                # filter types exactly once (png_count % 5 below)
+                from ficaria_spark.operators.tiff import encode_tiff
+                payload = encode_tiff(img, compression="lzw",
+                                      predictor=True, rows_per_strip=5)
+            elif i % 4 == 2:
                 # cycle the filter over the PNG rows ACTUALLY emitted (the
                 # video slot steals i=14, so an (i//4)%5 cycle would skip
                 # filter 3/Average entirely — r6 review finding)
