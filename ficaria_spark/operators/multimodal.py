@@ -291,10 +291,11 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Dispatch by magic bytes: netpbm, PNG, JPEG (baseline AND
-    progressive) and lossless WebP (VP8L) all decode HERE with no external
-    library (see :func:`decode_png`, operators/jpeg.py, operators/webp.py);
-    the remaining image seam is lossy WebP and exotic formats (AVIF…) —
-    plug Pillow/cv2 here for those."""
+    progressive), lossless WebP (VP8L) and baseline TIFF all decode HERE
+    with no external library (see :func:`decode_png`, operators/jpeg.py,
+    operators/webp.py, operators/tiff.py); the remaining image seam is
+    lossy WebP and exotic formats (AVIF…) — plug Pillow/cv2 here for
+    those."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
     if payload[:8] == _PNG_MAGIC:
@@ -305,8 +306,9 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ficaria_spark.operators.webp import decode_webp
         return decode_webp(payload)
-    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 \
-            and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        # matched byte-order + 42 pairs only: 'II' with big-endian 42 is
+        # NOT a TIFF and must fall through to the unrecognized-format seam
         from ficaria_spark.operators.tiff import decode_tiff
         return decode_tiff(payload)
     raise NotImplementedError(

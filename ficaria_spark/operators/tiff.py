@@ -43,7 +43,10 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
 # TIFF LZW (MSB-first, 9..12-bit codes, EARLY code-width change).
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """``expected`` bounds the output (strips declare their raster size):
+    a hostile strip of max-length table references must not amplify into
+    unbounded memory before the caller truncates."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -84,6 +87,8 @@ def _lzw_decode(data: bytes) -> bytes:
             else:
                 raise ValueError("invalid TIFF: LZW code beyond table")
             out += entry
+            if len(out) >= expected:
+                return bytes(out[:expected])
             prev = entry
             # TIFF early change: the decoder's table lags the encoder's
             # by ONE entry (the encoder defines w+next[0] at emission
@@ -109,6 +114,10 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        # truncate drained bits — an unbounded Python-int accumulator
+        # makes encoding O(bytes^2) (the same trap fixed in the JPEG
+        # decoder; measured 4x-per-doubling on 50..400 KB strips)
+        acc &= (1 << nbits) - 1
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -262,6 +271,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(
             f"invalid TIFF: required tag {exc.args[0]} missing") from None
+    if width == 0 or height == 0:
+        raise ValueError("invalid TIFF: zero ImageWidth/ImageLength")
     spp = tags.get(_TAG_SPP, [1])[0]
     bits = tags.get(_TAG_BITS, [8])
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
@@ -303,7 +314,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif comp == 32773:
             data = _packbits_decode(raw, expected)
         elif comp == 5:
-            data = _lzw_decode(raw)
+            data = _lzw_decode(raw, expected)
         elif comp == 8 or comp == 32946:
             try:
                 data = zlib.decompress(raw)
@@ -400,7 +411,7 @@ def encode_tiff(img: np.ndarray, *, compression: str = "none",
     n_strips = len(strips)
     # layout: header (8) + IFD + [BitsPerSample array for spp >= 3]
     #         + [strip offset/count arrays] + strips
-    n_tags = 10 + (1 if predictor else 0)
+    n_tags = 10 + (1 if predictor else 0) + (1 if spp == 4 else 0)
     ifd_size = 2 + 12 * n_tags + 4
     blob_base = 8 + ifd_size
     bits_size = 2 * spp if spp >= 3 else 0
@@ -440,6 +451,10 @@ def encode_tiff(img: np.ndarray, *, compression: str = "none",
     entries.append(entry(_TAG_PLANAR, 3, 1, 1))
     if predictor:
         entries.append(entry(_TAG_PREDICTOR, 3, 1, 2))
+    if spp == 4:
+        # TIFF 6.0 requires ExtraSamples whenever samples exceed the
+        # photometric's channels; 2 = unassociated alpha
+        entries.append(entry(338, 3, 1, 2))
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
 
     out = bytearray(b"II" + struct.pack("<HI", 42, 8))

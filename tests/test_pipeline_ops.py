@@ -853,8 +853,9 @@ def test_png_rows_flow_through_media_gate_kernel(spark):
     payloads = {r.item_id: bytes(r.payload) for r in imgs.collect()}
     png_ids = [i for i, p in payloads.items() if p[:8] == _PNG_MAGIC]
     # i % 4 == 2 of 32, minus video slots 14/30, minus the TIFF slot 22;
-    # the remaining 5 PNG rows cycle all five filter types exactly once
-    assert png_ids == [2, 6, 10, 18, 26]
+    # the remaining 5 PNG rows cycle all five filter types exactly once.
+    # (sorted: collect() row order is not a contract)
+    assert sorted(png_ids) == [2, 6, 10, 18, 26]
     feats = image_features(imgs, meta_col=None, use_fake_codec=False).toPandas()
     for item_id in png_ids:
         img = _decode_image_real(payloads[item_id])

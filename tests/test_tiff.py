@@ -63,7 +63,7 @@ def test_lzw_width_boundaries_and_dict_reset():
     # raw kernel round-trip at awkward sizes (off-by-one boundaries)
     for n in (253, 254, 255, 509, 510, 511, 4093, 4094, 4095, 20000):
         data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
-        assert _lzw_decode(_lzw_encode(data)) == data, n
+        assert _lzw_decode(_lzw_encode(data), n) == data, n
 
 
 def test_predictor_helps_and_is_exact():
@@ -76,6 +76,58 @@ def test_predictor_helps_and_is_exact():
     assert np.array_equal(decode_tiff(pred), grad)
     with pytest.raises(ValueError, match="predictor"):
         encode_tiff(grad, compression="none", predictor=True)
+
+
+def test_decoder_guards():
+    """Zero dimensions raise typed errors (a corrupt ImageWidth tag must
+    not escape as a downstream IndexError); the LZW decoder's output is
+    bounded by the declared raster size (no memory amplification from
+    hostile strips); mixed-endian magic pairs are NOT TIFF."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    p = bytearray(encode_tiff(img))
+    w_off = p.index(struct.pack("<HHI", 256, 4, 1))
+    struct.pack_into("<I", p, w_off + 8, 0)       # ImageWidth = 0
+    with pytest.raises(ValueError, match="zero Image"):
+        decode_tiff(bytes(p))
+    # bounded LZW: a strip expanding far past the raster stops at it
+    blob = _lzw_encode(b"\x07" * 100000)
+    assert _lzw_decode(blob, 192) == b"\x07" * 192
+    from ficaria_spark.operators.multimodal import _decode_image_real
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        _decode_image_real(b"II\x00\x2a" + b"\x00" * 16)   # mixed endian
+
+
+def test_lzw_encode_is_linear():
+    """The encoder's bit accumulator must stay bounded — untrimmed, it
+    made encoding O(bytes^2) (r6 review: measured 4x-per-doubling on
+    50..400 KB strips). 4x the input must cost well under the quadratic's
+    ~16x; single-process CPU timing is stable enough for a 9x threshold
+    (linear measures ~4x)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    small = bytes(rng.integers(0, 256, 40000, dtype=np.uint8))
+    big = bytes(rng.integers(0, 256, 160000, dtype=np.uint8))
+    _lzw_encode(small)                      # warm-up
+    t0 = time.perf_counter()
+    _lzw_encode(small)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    enc = _lzw_encode(big)
+    t_big = time.perf_counter() - t0
+    assert t_big / t_small < 9, (t_small, t_big)
+    assert _lzw_decode(enc, len(big)) == big
+
+
+def test_rgba_carries_extra_samples_tag():
+    """spp=4 files must declare the 4th sample (TIFF 6.0 ExtraSamples,
+    2 = unassociated alpha) or strict readers treat it as undefined."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(5, 5, 4), dtype=np.uint8)
+    p = encode_tiff(img)
+    assert struct.pack("<HHII", 338, 3, 1, 2) in p
+    assert np.array_equal(decode_tiff(p), img)
 
 
 def test_packbits_kernel():
