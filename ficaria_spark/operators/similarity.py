@@ -57,15 +57,117 @@ def cosine_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedd
     )
 
 
+def _cosine_topk_broadcast(df: DataFrame, *, id_col: str, vec_col: str,
+                           k: int) -> DataFrame:
+    """Exact top-k with the NEIGHBOR MATRIX BROADCAST (guide §3.1 shape): the
+    whole corpus, normalized, ships to every task once; one mapInArrow pass
+    over the query rows computes each batch's (nq, n) cosine block in BLAS
+    and emits the final per-query top-k directly. ZERO exchanges, zero
+    window — block-local top-k IS the global top-k because every task sees
+    all neighbors. Right whenever n·dim·8 bytes fits executor memory
+    (cosine_topk_blocked's auto mode gates on a row threshold); the blocked
+    path remains the shape for corpora beyond broadcast size.
+
+    Tie policy matches the window path exactly: cosine desc, neighbor_id asc
+    (neighbors sorted by id + stable argsort). Zero-norm embeddings (NaN
+    cosine) are excluded, same as the blocked path."""
+    from pyspark.sql import types as T
+
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    tbl = base.toArrow()  # one scan; Arrow columns, no per-row Python objects
+    if tbl.num_rows == 0:
+        return spark.createDataFrame([], out_schema)
+    nids = tbl.column("rid").to_numpy()
+    order = np.argsort(nids, kind="stable")  # id asc → stable tie-break below
+    vec_arr = tbl.column("vec").combine_chunks()
+    dim = len(vec_arr[0])
+    N = _vec_matrix(vec_arr, dim).astype(np.float64)[order]
+    nids = nids[order]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        N = N / np.sqrt((N * N).sum(axis=1))[:, None]
+    bc = spark.sparkContext.broadcast((nids, N))
+
+    def run(batches):
+        import pyarrow as pa
+
+        nid_v, Nv = bc.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            Q = _vec_matrix(rb.column(1), dim).astype(np.float64)
+            qids = rb.column(0).to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+            S = Q @ Nv.T
+            S[qids[:, None] == nid_v[None, :]] = -np.inf  # exclude self
+            kk = min(k, S.shape[1])
+            # top-k by (cosine desc, nid asc) WITHOUT a full row argsort
+            # (argsort of a 20k-wide row costs ~2.5 ms/row; argpartition is
+            # O(n)): select kk largest per row, order candidates by nid asc
+            # first so the stable value sort breaks exact ties by nid —
+            # identical tie policy to the window path. Rows where a value
+            # tie straddles the partition boundary (S == kth value appears
+            # more than kk times) fall back to the exact full stable sort.
+            if kk >= S.shape[1]:
+                idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+                vals = np.take_along_axis(S, idx, axis=1)
+            else:
+                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                part.sort(axis=1)  # ascending index == ascending nid
+                pv = np.take_along_axis(S, part, axis=1)
+                ordr = np.argsort(-pv, axis=1, kind="stable")
+                idx = np.take_along_axis(part, ordr, axis=1)
+                vals = np.take_along_axis(pv, ordr, axis=1)
+                with np.errstate(invalid="ignore"):
+                    n_ge = (S >= vals[:, -1][:, None]).sum(axis=1)
+                for r in np.nonzero(n_ge > kk)[0]:  # boundary ties: rare
+                    full = np.argsort(-S[r], kind="stable")[:kk]
+                    idx[r] = full
+                    vals[r] = S[r][full]
+            rows = np.repeat(qids, kk)
+            cols = nid_v[idx.ravel()]
+            vals = vals.ravel()
+            ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(qids))
+            keep = np.isfinite(vals)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows[keep], type=pa.int64()),
+                 pa.array(cols[keep], type=pa.int64()),
+                 pa.array(vals[keep], type=pa.float64()),
+                 pa.array(ranks[keep], type=pa.int32())],
+                ["query_id", "neighbor_id", "cosine", "rank"])
+
+    return widen_thin_input(base).mapInArrow(run, out_schema)
+
+
 def cosine_topk_blocked(df: DataFrame, *, id_col: str = "vec_id",
                         vec_col: str = "embedding", k: int = 5,
-                        nb: int | None = None) -> DataFrame:
+                        nb: int | None = None,
+                        broadcast_rows: int | None = 200_000) -> DataFrame:
     """Exact top-k via blocked NumPy matmul — the 100 TB path.
 
     Left/right blocks cogroup pairwise (operators/pairwise scheme); each task
     computes a dense (|L|, |R|) dot block with dgemm and emits only each left
     row's block-local top-k; a window over the k·nb candidates per row picks
     the global top-k. O(n·nb·k) shuffle, dense math in BLAS.
+
+    ``broadcast_rows``: when the corpus has at most this many rows (one cheap
+    metadata-count sizing job at plan construction — the same documented
+    exception to the plan-construction-runs-no-jobs rule as interval_join's
+    auto mode), the whole normalized matrix is broadcast instead and a single
+    zero-exchange mapInArrow pass emits the final top-k
+    (:func:`_cosine_topk_broadcast` — guide §3.1: broadcast the side that
+    fits). Sized for n·dim·8 bytes per Python worker; tune to
+    executor_mem / cores_per_executor on a real cluster, or pass ``None``
+    to force the blocked shuffle path.
 
     ``nb=None`` sizes the block grid to the cluster: nb(nb+1)/2 pair tasks
     should give ~4 waves of parallelism (measured: 136 small tasks beat 36
@@ -80,6 +182,9 @@ def cosine_topk_blocked(df: DataFrame, *, id_col: str = "vec_id",
     import pandas as pd
 
     from ficaria_spark.operators.pairwise import block_pair_apply
+
+    if broadcast_rows is not None and df.count() <= broadcast_rows:
+        return _cosine_topk_broadcast(df, id_col=id_col, vec_col=vec_col, k=k)
 
     if nb is None:
         cores = df.sparkSession.sparkContext.defaultParallelism

@@ -374,6 +374,34 @@ def test_cosine_topk_blocked_matches_expression_path(spark):
     assert np.allclose(a.cosine.to_numpy(), b.cosine.to_numpy(), atol=1e-9)
 
 
+def test_cosine_topk_broadcast_path_equals_shuffle_path(spark):
+    """r7: cosine_topk_blocked auto-routes small corpora to the broadcast
+    mapInArrow kernel (zero exchanges). Both paths — and the expression
+    baseline — must agree on (query, neighbor, rank), INCLUDING exact-tie
+    rows: duplicated vectors make several neighbors share a bit-identical
+    cosine at the k-boundary, exercising the kernel's argpartition tie
+    fallback (ties must resolve by neighbor_id asc, the window policy)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(12, 8))
+    # rows 0..11 unique, 12..23 duplicate them → every query sees its twin
+    # at cosine 1.0 and multiple boundary ties among equal vectors
+    M = np.vstack([base, base, base[:4]])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    pdf = pd.DataFrame({"vec_id": range(len(M)), "embedding": list(M)})
+    sdf = spark.createDataFrame(pdf)
+    a = (sim.cosine_topk(sdf, k=3).toPandas()
+         .sort_values(["query_id", "rank"]))
+    bcast = (sim.cosine_topk_blocked(sdf, k=3).toPandas()
+             .sort_values(["query_id", "rank"]))           # broadcast route
+    shuf = (sim.cosine_topk_blocked(sdf, k=3, nb=3, broadcast_rows=None)
+            .toPandas().sort_values(["query_id", "rank"]))  # forced shuffle
+    for b in (bcast, shuf):
+        assert list(a.query_id) == list(b.query_id)
+        assert list(a.neighbor_id) == list(b.neighbor_id)
+        assert list(a["rank"]) == list(b["rank"])
+        assert np.allclose(a.cosine.to_numpy(), b.cosine.to_numpy(), atol=1e-9)
+
+
 def test_blocked_pairwise_correct_over_parquet_source(spark, tmp_path):
     """Regression: a self-pair whose sides share a FILE-SCAN subtree used to
     come back silently wrong under cogroup (plan-dedup mis-resolution);
