@@ -114,9 +114,15 @@ class _ImputerBase:
         df = self._cast_features(df)
         schema = df.schema
 
+        from ficaria_spark.plans.layout import widen_thin_input
+
         mis_pred = _missing_pred(cols)
         complete = df.where(~mis_pred)
-        incomplete = df.where(mis_pred)
+        # the Arrow round-trip is the whole cost of the transform, and a
+        # single-row-group parquet source scans as 1-2 partitions (r7: the
+        # sf1 part table arrives as ONE split) — widen the Python-bound
+        # branch to the cluster; no-op on corpus-scale multi-file scans
+        incomplete = widen_thin_input(df.where(mis_pred))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -934,9 +940,13 @@ class FCMDTIterativeImputer(_ImputerBase):
         })
         from pyspark.sql import types as T
 
+        from ficaria_spark.plans.layout import widen_thin_input
+
         mis_pred = _missing_pred(cols)
         complete = df.where(~mis_pred)
-        incomplete = df.where(mis_pred)
+        # widen the Python-bound branch (see _map_impute — same single-
+        # row-group scan pinning, r7)
+        incomplete = widen_thin_input(df.where(mis_pred))
 
         # ① initial DT imputation + leaf tagging (map-only, vectorized)
         leaf_cols = [f"__leaf_{j}" for j in range(d)]

@@ -107,43 +107,23 @@ def _cosine_topk_broadcast(df: DataFrame, *, id_col: str, vec_col: str,
             qids = rb.column(0).to_numpy(zero_copy_only=False)
             with np.errstate(invalid="ignore", divide="ignore"):
                 Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
-            S = Q @ Nv.T
-            S[qids[:, None] == nid_v[None, :]] = -np.inf  # exclude self
-            kk = min(k, S.shape[1])
-            # top-k by (cosine desc, nid asc) WITHOUT a full row argsort
-            # (argsort of a 20k-wide row costs ~2.5 ms/row; argpartition is
-            # O(n)): select kk largest per row, order candidates by nid asc
-            # first so the stable value sort breaks exact ties by nid —
-            # identical tie policy to the window path. Rows where a value
-            # tie straddles the partition boundary (S == kth value appears
-            # more than kk times) fall back to the exact full stable sort.
-            if kk >= S.shape[1]:
-                idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-                vals = np.take_along_axis(S, idx, axis=1)
-            else:
-                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-                part.sort(axis=1)  # ascending index == ascending nid
-                pv = np.take_along_axis(S, part, axis=1)
-                ordr = np.argsort(-pv, axis=1, kind="stable")
-                idx = np.take_along_axis(part, ordr, axis=1)
-                vals = np.take_along_axis(pv, ordr, axis=1)
-                with np.errstate(invalid="ignore"):
-                    n_ge = (S >= vals[:, -1][:, None]).sum(axis=1)
-                for r in np.nonzero(n_ge > kk)[0]:  # boundary ties: rare
-                    full = np.argsort(-S[r], kind="stable")[:kk]
-                    idx[r] = full
-                    vals[r] = S[r][full]
-            rows = np.repeat(qids, kk)
-            cols = nid_v[idx.ravel()]
-            vals = vals.ravel()
-            ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(qids))
-            keep = np.isfinite(vals)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(rows[keep], type=pa.int64()),
-                 pa.array(cols[keep], type=pa.int64()),
-                 pa.array(vals[keep], type=pa.float64()),
-                 pa.array(ranks[keep], type=pa.int32())],
-                ["query_id", "neighbor_id", "cosine", "rank"])
+            for c0 in range(0, len(Q), _TOPK_CHUNK_ROWS):
+                qc = qids[c0:c0 + _TOPK_CHUNK_ROWS]
+                S = Q[c0:c0 + _TOPK_CHUNK_ROWS] @ Nv.T
+                S[qc[:, None] == nid_v[None, :]] = -np.inf  # exclude self
+                idx, vals = _topk_block(S, k)
+                kk = idx.shape[1]
+                rows = np.repeat(qc, kk)
+                cols = nid_v[idx.ravel()]
+                vals = vals.ravel()
+                ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(qc))
+                keep = np.isfinite(vals)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[keep], type=pa.int64()),
+                     pa.array(cols[keep], type=pa.int64()),
+                     pa.array(vals[keep], type=pa.float64()),
+                     pa.array(ranks[keep], type=pa.int32())],
+                    ["query_id", "neighbor_id", "cosine", "rank"])
 
     return widen_thin_input(base).mapInArrow(run, out_schema)
 
@@ -242,6 +222,42 @@ def _vec_matrix(list_arr, dim: int) -> np.ndarray:
             f"elements, expected dim={dim}")
     flat = list_arr.values.to_numpy(zero_copy_only=False)
     return flat[base:base + n * dim].reshape(n, dim)
+
+
+def _topk_block(S: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k of a score block by (value desc, column asc) — the
+    window tie policy, provided columns are pre-sorted ascending by
+    neighbor id. argpartition + bounded stable sort (O(n) per row, not the
+    O(n log n) full argsort — 20k-wide rows measured ~2.5 ms each); rows
+    where a value tie straddles the k boundary (kth value appears more than
+    k times) fall back to an exact full stable sort. Returns (idx, vals)
+    of shape (rows, min(k, cols))."""
+    kk = min(k, S.shape[1])
+    if kk >= S.shape[1]:
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        return idx, np.take_along_axis(S, idx, axis=1)
+    part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+    part.sort(axis=1)  # ascending column == ascending neighbor id
+    pv = np.take_along_axis(S, part, axis=1)
+    ordr = np.argsort(-pv, axis=1, kind="stable")
+    idx = np.take_along_axis(part, ordr, axis=1)
+    vals = np.take_along_axis(pv, ordr, axis=1)
+    with np.errstate(invalid="ignore"):
+        n_ge = (S >= vals[:, -1][:, None]).sum(axis=1)
+    for r in np.nonzero(n_ge > kk)[0]:  # boundary ties: rare
+        full = np.argsort(-S[r], kind="stable")[:kk]
+        idx[r] = full
+        vals[r] = S[r][full]
+    return idx, vals
+
+
+#: query rows scored per inner chunk in the broadcast kernels: bounds each
+#: worker's transient footprint (chunk·n·8B score block + temps ≈ 60 MB at
+#: n=20k) — a full 10k-row Arrow batch against a 20k corpus would allocate
+#: ~1.6 GB of fresh pages per batch across S/−S/mask temporaries, and 32
+#: concurrent workers doing that produced multi-second allocator/page-fault
+#: stalls (r7 measurement: sporadic 2 s → 18 s map walls, quiet host probes)
+_TOPK_CHUNK_ROWS = 256
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
@@ -409,8 +425,12 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
     if n_lists is None:
         n_lists = max(16, int(math.isqrt(df.count())))
     # canonical (id-ordered) sample: the fitted centers are invariant to input
-    # partitioning, and the driver-independent oracle twin can reproduce them
-    sample = np.stack(base.orderBy("id").limit(sample_cap).toPandas()["vec"].to_numpy())
+    # partitioning, and the driver-independent oracle twin can reproduce them.
+    # toArrow + the zero-copy matrix view skips the toPandas list-of-Python-
+    # objects conversion (~0.5 s at 20k×64 — r7 measurement)
+    sample_tbl = base.orderBy("id").limit(sample_cap).toArrow()
+    sample_vec = sample_tbl.column("vec").combine_chunks()
+    sample = _vec_matrix(sample_vec, len(sample_vec[0])).astype(np.float64)
     centers = _kmeans(sample, n_lists, iters, seed)
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
@@ -431,12 +451,117 @@ def ivf_assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddi
     return tagged, centers
 
 
+def _ivf_topk_broadcast(df: DataFrame, *, k: int, n_lists: int, nprobe: int,
+                        seed: int, sample_cap: int, iters: int) -> DataFrame:
+    """IVF top-k with the LIST-TAGGED CORPUS BROADCAST (r7, guide §3.1): the
+    corpus is collected once — (id, vec), ~n·dim·8 bytes — the k-means fit
+    and the per-row list assignment run driver-side on that matrix with the
+    BIT-IDENTICAL expressions of ivf_assign (the id-sorted prefix is exactly
+    the ``orderBy(id).limit(cap)`` sample; the assignment is the kernel's
+    ``((M−C)²).sum`` argmin), and a single mapInArrow pass over the raw
+    vectors computes each query's probe lists, the cosine block against the
+    full matrix, masks columns outside the probed lists, and emits the exact
+    per-query top-k. ZERO exchanges and ONE collect job (the shuffle path
+    pays: a sample collect, an assign pass + persist, a probes pass, a
+    union exchange, a grouped kernel, and a window — ~4 s of machinery at
+    sf1 for ~0.3 s of math). Identical semantics: same centers, same
+    assign/probe tie rules (first-occurrence argmin / mergesort argsort),
+    same cosine arithmetic, same (cosine desc, nid asc) tie policy."""
+    from pyspark.sql import types as T
+
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    spark = df.sparkSession
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    tbl = df.toArrow()
+    if tbl.num_rows == 0:
+        return spark.createDataFrame([], out_schema)
+    nids = tbl.column("rid").to_numpy()
+    order = np.argsort(nids, kind="stable")  # id asc → stable tie-break
+    vec_arr = tbl.column("vec").combine_chunks()
+    dim = len(vec_arr[0])
+    N = _vec_matrix(vec_arr, dim).astype(np.float64)[order]
+    nids = nids[order]
+    centers = _kmeans(N[:sample_cap], n_lists, iters, seed)
+    # per-row list assignment: ivf_assign's kernel expression verbatim,
+    # chunked so the (rows, k, dim) diff temp stays bounded
+    list_col = np.empty(len(N), dtype=np.int32)
+    for c0 in range(0, len(N), 8192):
+        Mc = N[c0:c0 + 8192]
+        d = ((Mc[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        list_col[c0:c0 + 8192] = d.argmin(axis=1).astype(np.int32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        N = N / np.sqrt((N * N).sum(axis=1))[:, None]
+    bc = spark.sparkContext.broadcast((nids, N, list_col, centers))
+
+    def run(batches):
+        import pyarrow as pa
+
+        nid_v, Nv, lists_v, C = bc.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            M = _vec_matrix(rb.column(1), dim).astype(np.float64)
+            qids = rb.column(0).to_numpy(zero_copy_only=False)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1, kind="mergesort")[:, :nprobe] \
+                .astype(np.int32)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Q = M / np.sqrt((M * M).sum(axis=1))[:, None]
+            for c0 in range(0, len(Q), _TOPK_CHUNK_ROWS):
+                qc = qids[c0:c0 + _TOPK_CHUNK_ROWS]
+                nc = near[c0:c0 + _TOPK_CHUNK_ROWS]
+                S = Q[c0:c0 + _TOPK_CHUNK_ROWS] @ Nv.T
+                probed = (lists_v[None, :, None]
+                          == nc[:, None, :]).any(axis=2)
+                S[~probed] = -np.inf          # outside the probed lists
+                S[qc[:, None] == nid_v[None, :]] = -np.inf  # exclude self
+                idx, vals = _topk_block(S, k)
+                kk = idx.shape[1]
+                rows = np.repeat(qc, kk)
+                cols = nid_v[idx.ravel()]
+                vals = vals.ravel()
+                ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(qc))
+                keep = np.isfinite(vals)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[keep], type=pa.int64()),
+                     pa.array(cols[keep], type=pa.int64()),
+                     pa.array(vals[keep], type=pa.float64()),
+                     pa.array(ranks[keep], type=pa.int32())],
+                    ["query_id", "neighbor_id", "cosine", "rank"])
+
+    return widen_thin_input(df).mapInArrow(run, out_schema)
+
+
 def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
                  k: int = 5, n_lists: int | None = None, nprobe: int = 2,
-                 seed: int = 11) -> DataFrame:
+                 seed: int = 11, broadcast_rows: int | None = 200_000) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     inverted lists; exact cosine within the probed lists. ``n_lists=None``
-    auto-scales to ≈√n (see :func:`ivf_assign`)."""
+    auto-scales to ≈√n (see :func:`ivf_assign`).
+
+    ``broadcast_rows``: corpora at or under this many rows (one cheap
+    sizing count at plan construction, the interval_join-style documented
+    exception) take the zero-exchange broadcast kernel
+    (:func:`_ivf_topk_broadcast`); larger corpora keep the shuffled
+    per-list shape below. Tune to executor_mem / cores_per_executor on a
+    real cluster, or pass ``None`` to force the shuffle path."""
+    import math
+
+    if broadcast_rows is not None:
+        n_rows = df.count()
+        if n_rows <= broadcast_rows:
+            base = df.select(F.col(id_col).alias("rid"),
+                             F.col(vec_col).alias("vec"))
+            return _ivf_topk_broadcast(
+                base, k=k, nprobe=nprobe, seed=seed,
+                n_lists=n_lists or max(16, int(math.isqrt(n_rows))),
+                sample_cap=20_000, iters=10)
     tagged, centers = ivf_assign(df, id_col=id_col, vec_col=vec_col,
                                  n_lists=n_lists, seed=seed)
     # probed queries AND probed neighbors both derive from this plan
@@ -484,34 +609,53 @@ def ivf_ann_topk(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     ns = n.select(F.col("nid").alias("rid"), F.col("nvec").alias("vec"),
                   "probe_list", F.lit(1).alias("__side"))
 
-    def list_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        lq = pdf[pdf["__side"] == 0]
-        ln = pdf[pdf["__side"] == 1]
-        if not len(lq) or not len(ln):
-            return pd.DataFrame({"qid": [], "nid": [], "cosine": []})
-        # neighbor block sorted by id so the STABLE argsort below breaks
-        # exact cosine ties by ascending nid — deterministic under any
-        # partitioning, and identical to the window's (cosine desc, nid asc)
-        ln = ln.sort_values("rid", kind="mergesort")
-        Q = np.stack(lq["vec"].to_numpy())
-        N = np.stack(ln["vec"].to_numpy())
-        Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
-        N = N / np.sqrt((N * N).sum(axis=1))[:, None]
+    def list_topk(tbl):
+        # applyInArrow + the zero-copy matrix view: the applyInPandas
+        # version materialized every 64-dim vector as a Python list and
+        # full-argsorted each (nq, nn) block — measured ~3 s of the sf1
+        # wall in 8 serial-ish tasks (r7). Same math, same tie policy.
+        import pyarrow as pa
+
+        names = tbl.schema.names
+        side = tbl.column(names.index("__side")).to_numpy(zero_copy_only=False)
+        rid = tbl.column(names.index("rid")).to_numpy(zero_copy_only=False)
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "nid": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        q_mask = side == 0
+        n_mask = ~q_mask
+        if not q_mask.any() or not n_mask.any():
+            return empty
+        vec = tbl.column(names.index("vec")).combine_chunks()
+        M = _vec_matrix(vec, len(vec[0])).astype(np.float64)
+        qids = rid[q_mask]
+        # neighbor block sorted by id so stable selection breaks exact
+        # cosine ties by ascending nid — deterministic under any
+        # partitioning, identical to the window's (cosine desc, nid asc)
+        nord = np.argsort(rid[n_mask], kind="stable")
+        nids = rid[n_mask][nord]
+        Q = M[q_mask]
+        N = M[n_mask][nord]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+            N = N / np.sqrt((N * N).sum(axis=1))[:, None]
         S = Q @ N.T
-        qids = lq["rid"].to_numpy()
-        nids = ln["rid"].to_numpy()
         S[qids[:, None] == nids[None, :]] = -np.inf  # exclude self
-        kk = min(k, S.shape[1])
-        order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        # argpartition + bounded stable sort, exact full-sort fallback on
+        # value ties at the k boundary (shared _topk_block helper; O(nn)
+        # per row instead of O(nn log nn))
+        order, vals = _topk_block(S, k)
+        kk = order.shape[1]
         rows = np.repeat(qids, kk)
         cols = nids[order.ravel()]
-        vals = np.take_along_axis(S, order, axis=1).ravel()
+        vals = vals.ravel()
         keep = np.isfinite(vals)
-        return pd.DataFrame({"qid": rows[keep], "nid": cols[keep],
-                             "cosine": vals[keep]})
+        return pa.table({"qid": pa.array(rows[keep], pa.int64()),
+                         "nid": pa.array(cols[keep], pa.int64()),
+                         "cosine": pa.array(vals[keep], pa.float64())})
 
     scored = (qs.unionByName(ns).groupBy("probe_list")
-              .applyInPandas(list_topk, "qid long, nid long, cosine double"))
+              .applyInArrow(list_topk, "qid long, nid long, cosine double"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

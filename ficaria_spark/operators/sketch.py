@@ -38,18 +38,25 @@ def count_min_sketch(df: DataFrame, *, item_col: str, d: int = 4, w: int = 1024,
     untouched counters are implicit zeros. Merge sketches (same d/w/seed)
     with ``a.unionByName(b).groupBy("r", "bucket").agg(sum("count"))``."""
     item = F.col(item_col)
+    # r7: aggregate BEFORE hashing — a bucket is a pure function of the item
+    # value, so per-(r, bucket) counts equal per-item counts summed into
+    # buckets. The per-item pre-agg is one map-side-combined shuffle of the
+    # distinct items, and the d bucket hashes (md5 on the portable path) run
+    # once per DISTINCT item instead of once per stream INSTANCE — at sf1
+    # that is 112 md5 calls instead of 240 M for the token stream. Counter
+    # values are bit-identical (sum is associative).
+    cnt = F.sum(F.col(weight_col)) if weight_col else F.count("*")
+    per_item = df.groupBy(item.alias("__it")).agg(cnt.alias("__wt"))
+    it = F.col("__it")
     pairs = F.array(*[
         F.struct(F.lit(r).alias("r"),
-                 _bucket(item, r, w=w, seed=seed, hash_method=hash_method).alias("bucket"))
+                 _bucket(it, r, w=w, seed=seed, hash_method=hash_method).alias("bucket"))
         for r in range(d)
     ])
-    ex = df.select(F.explode(pairs).alias("p"),
-                   *( [F.col(weight_col).alias("__wt")] if weight_col else [] ))
-    cnt = F.sum("__wt") if weight_col else F.count("*")
     return (
-        ex.select("p.r", "p.bucket", *(["__wt"] if weight_col else []))
-        .groupBy("r", "bucket")
-        .agg(cnt.alias("count"))
+        per_item.select(F.explode(pairs).alias("p"), "__wt")
+        .groupBy("p.r", "p.bucket")
+        .agg(F.sum("__wt").alias("count"))
     )
 
 

@@ -405,7 +405,11 @@ LIMIT 10
 """,
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = datagen.load(spark, sf_dir, "orders")
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    # r7: widen the fact side — the single-file orders scan has 2 effective
+    # splits, pinning the broadcast-join + map-side partial agg to 2 cores
+    orders = widen_thin_input(datagen.load(spark, sf_dir, "orders"))
     cust = datagen.load(spark, sf_dir, "customer")
     # customer is the small dimension — broadcast it (no shuffle of orders)
     return (
@@ -496,8 +500,9 @@ def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence-packing plan (context 256): the all-integer
     doc→pack segment map, one window exchange per source group."""
     from ficaria_spark.operators.tokens import pack_segments
+    from ficaria_spark.plans.layout import widen_thin_input
 
-    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir))
     return pack_segments(seqs, context_len=_PACK_L)
 
 
@@ -523,8 +528,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     last carries exactly 256 tokens; token-array equality is exact (integer
     slices, no reordering within a doc)."""
     from ficaria_spark.operators.tokens import pack_sequences
+    from ficaria_spark.plans.layout import widen_thin_input
 
-    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    # r7: the tokenize HOF runs twice (offsets pass + the slice join side)
+    # over a 1-2 partition scan — widen so both passes use the cluster
+    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir))
     packed = pack_sequences(seqs, context_len=_PACK_L)
     return packed.select(
         "source", "pack_id", "n_tok",
@@ -674,7 +682,12 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score, redact_pii, repetition_features)
     from ficaria_spark.operators.tokens import pack_sequences
 
-    docs = datagen.load(spark, sf_dir, "documents")
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    # r7: the driver's single-row-group parquet pins every regex/HOF gate
+    # branch to 1-2 scan cores — widen ONCE and let all five gate branches
+    # reuse the same exchange (no-op on corpus-scale multi-file scans)
+    docs = widen_thin_input(datagen.load(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
 
@@ -700,8 +713,8 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = stratified_sample(surv, {"src1": 0.75, "src2": 0.5},
                              default_rate=0.25, key_col="doc_id",
                              seed=3, method="md5")
-    seqs = datagen.tokenized_sequences(spark, sf_dir).withColumnRenamed(
-        "doc_id", "doc_id_str")
+    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir)) \
+        .withColumnRenamed("doc_id", "doc_id_str")
     surv_seqs = (
         seqs.join(surv.select(F.col("doc_id").cast("string").alias("doc_id_str")),
                   "doc_id_str")
@@ -775,7 +788,9 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     underestimates (CMS guarantee, also asserted by pytest)."""
     from ficaria_spark.operators.sketch import cms_estimate, count_min_sketch
 
-    seqs = datagen.tokenized_sequences(spark, sf_dir)
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir))
     tok = seqs.select(F.explode("tokens").alias("token"))
     sk = count_min_sketch(tok, item_col="token", d=4, w=256, seed=9,
                           hash_method="md5")
@@ -1295,8 +1310,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("item_id", "kind", F.col("f.feature").alias("feature"),
                  F.round(F.col("f.value"), 6).alias("value"))
 
-    return (long_form(img, img_feats)
-            .unionByName(long_form(img, ph_feats))
+    # r7: one branch for ALL image-derived rows — a second long_form(img,…)
+    # union branch re-ran the in-plan payload generation AND the full image
+    # decode (PNG/JPEG/WebP/TIFF) a second time; rows are identical because
+    # the driver's gate hash is order-insensitive
+    return (long_form(img, img_feats + ph_feats)
             .unionByName(long_form(au, au_feats))
             .unionByName(long_form(vid, vid_feats)))
 
@@ -1508,7 +1526,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ficaria_spark.operators.text import (
         quality_score, redact_pii, repetition_features, token_count)
 
-    docs = datagen.load(spark, sf_dir, "documents")
+    from ficaria_spark.plans.layout import widen_thin_input
+
+    docs = widen_thin_input(datagen.load(spark, sf_dir, "documents"))
     q = redact_pii(repetition_features(quality_score(docs)), with_counts=True)
     return q.select(
         "doc_id",

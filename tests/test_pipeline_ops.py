@@ -535,7 +535,8 @@ def test_operator_caches_released(spark):
     dd.simhash_near_pairs(sdf, max_hamming=5).count()
     emb, _ = _embeddings(spark, n=50)
     sim.lsh_ann_topk(emb, dim=16, k=3).count()
-    sim.ivf_ann_topk(emb, k=3, n_lists=4).count()
+    # force the shuffle path: the r7 broadcast route has no internal persist
+    sim.ivf_ann_topk(emb, k=3, n_lists=4, broadcast_rows=None).count()
     assert live_count() >= 5
     assert release_operator_caches() >= 5
     assert live_count() == 0
