@@ -591,9 +591,15 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def _bidir(edges: DataFrame) -> DataFrame:
+    """Both orientations of the (already distinct, consistently oriented)
+    edge set. No distinct needed (r7 — it cost one full exchange per star
+    round): the CC loop's edge sets always satisfy src != dst with ONE
+    orientation per pair — the initial input is distinct with id_a < id_b,
+    large-star emits (v, m) with v > u >= m, and small-star emits (v, m) /
+    (u, m) with m < v <= u and m < u, all followed by their own distinct —
+    so the two unioned orientations can never overlap or self-duplicate."""
     return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")) \
-        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))) \
-        .distinct()
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -602,12 +608,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
     m = min(Γ(u) ∪ {u})."""
     b = _bidir(edges)
     m = b.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    # No trailing distinct (r7 — one exchange per round saved): each output
+    # row maps 1:1 to a bidir row, so the result is bounded at 2·|edges|
+    # even with duplicates (never quadratic), duplicate (v, m) rows do not
+    # change the small-star min aggregates they feed, and the small-star
+    # final distinct restores set semantics before the convergence probe —
+    # per-round edge SETS are identical to the distinct version.
     return (
         b.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

@@ -209,6 +209,10 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
                 pos += ncol * 3
             if ct is None:
                 raise ValueError("GIF image with no color table")
+            if left + iw > w or top + ih > h:
+                # ADVICE r6: an out-of-canvas descriptor otherwise surfaces
+                # as a cryptic numpy broadcast error at the region write
+                raise ValueError("invalid GIF: image exceeds canvas")
             mcs = at(pos)
             pos += 1
             chunks = []

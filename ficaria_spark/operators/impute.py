@@ -43,6 +43,20 @@ class NotFittedError(RuntimeError):
 # shared plumbing
 # ---------------------------------------------------------------------------
 
+def _arrow_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
+    """Collect a small frame of double columns as an (n, d) float64 matrix
+    via toArrow — skips the toPandas object-conversion path (r7: ~0.3 s per
+    fit at a 156k-row complete set). Nulls arrive as NaN, doubles pass
+    through bit-exact, so fitted state is identical to the pandas path."""
+    tbl = df.toArrow()
+    if tbl.num_rows == 0:
+        return np.zeros((0, len(cols)))
+    return np.column_stack([
+        tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64,
+                                                            copy=False)
+        for c in cols])
+
+
 def _missing_pred(cols: Sequence[str]):
     """A cell counts as missing if it is SQL NULL *or* float NaN — matching
     the fit side (na.drop excludes both) and the NumPy kernels (np.isnan).
@@ -93,13 +107,13 @@ class _ImputerBase:
         comp = df.na.drop("any", subset=cols).select(*cols).orderBy(*cols)
         if self.fit_cap is not None:
             comp = comp.limit(self.fit_cap)
-        return comp.toPandas().to_numpy(dtype=np.float64)
+        return _arrow_matrix(comp, cols)
 
     def _collect_all(self, df: DataFrame, cols: list[str]) -> np.ndarray:
         sub = df.select(*cols).orderBy(*cols)
         if self.fit_cap is not None:
             sub = sub.limit(self.fit_cap)
-        return sub.toPandas().to_numpy(dtype=np.float64)
+        return _arrow_matrix(sub, cols)
 
     def _map_impute(self, df: DataFrame, kernel) -> DataFrame:
         """Complete/incomplete split + one mapInPandas pass over the

@@ -119,13 +119,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         return pcm.astype(np.float64) / float(1 << (bps - 1)), rate
 
     if payload[:4] == b"RIFF" and len(payload) >= 22:
-        # peek the fmt tag without the wave module (it rejects non-PCM)
-        fmt_at = payload.find(b"fmt ")
-        if fmt_at >= 0:
-            (tag,) = struct.unpack_from("<H", payload, fmt_at + 8)
-            if tag != 1:
-                from ficaria_spark.operators.audio import decode_wav_compressed
-                return decode_wav_compressed(payload)
+        # peek the fmt tag without the wave module (it rejects non-PCM) by
+        # WALKING the RIFF chunk headers — a raw byte search could match
+        # b"fmt " inside an earlier chunk's data (e.g. LIST/INFO) and
+        # misroute a valid integer-PCM file (ADVICE r6)
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            if cid == b"fmt " and pos + 10 <= len(payload):
+                (tag,) = struct.unpack_from("<H", payload, pos + 8)
+                if tag != 1:
+                    from ficaria_spark.operators.audio import (
+                        decode_wav_compressed)
+                    return decode_wav_compressed(payload)
+                break
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
         sw, nch, rate = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
@@ -201,8 +210,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError("PNG Adam7/nonzero method not supported")
     ch = _PNG_CHANNELS[color]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
+    # bounded decode (ADVICE r6): cap the inflate at the declared raster
+    # size so a crafted payload with small dimensions cannot allocate far
+    # more during decompression (same class as the TIFF Deflate fix)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), h * (1 + stride))
+    if (dec.decompress(dec.unconsumed_tail, 1) or dec.flush(1)
+            or len(raw) != h * (1 + stride)):
         raise ValueError("PNG IDAT length does not match dimensions")
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     ftypes, lines = scan[:, 0], scan[:, 1:]

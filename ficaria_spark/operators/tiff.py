@@ -316,8 +316,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif comp == 5:
             data = _lzw_decode(raw, expected)
         elif comp == 8 or comp == 32946:
+            # bounded decode (ADVICE r6): stop inflating at the declared
+            # raster size like the LZW/PackBits paths — a small hostile
+            # strip must not amplify to gigabytes before the length check
             try:
-                data = zlib.decompress(raw)
+                dec = zlib.decompressobj()
+                data = dec.decompress(raw, expected)
+                if dec.decompress(dec.unconsumed_tail, 1) or dec.flush(1):
+                    raise ValueError(
+                        "invalid TIFF: Deflate strip decodes longer than "
+                        "the declared strip size")
             except zlib.error as exc:
                 raise ValueError(f"invalid TIFF: bad Deflate strip "
                                  f"({exc})") from None

@@ -280,11 +280,21 @@ def q_range_join_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = orders.select(
         F.date_trunc("week", "o_orderdate").alias("ws")).distinct() \
         .withColumn("we", F.col("ws") + F.expr("INTERVAL 4 DAYS"))
-    j = interval_join(li, wins, ts="l_shipdate", start="ws", end="we",
+    # r7 (guide §2.3, aggregate before the join): collapse the fact side to
+    # one row per distinct ship DATE before the interval join — the join
+    # then ranges ~2.5k date rows against the week windows instead of
+    # probing every lineitem row, and the week totals re-aggregate the
+    # per-date partials (counts sum; DECIMAL sums are exact, so regrouping
+    # is bit-identical). Same interval_join operator, same results.
+    per_day = li.groupBy("l_shipdate").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__q"),
+    )
+    j = interval_join(per_day, wins, ts="l_shipdate", start="ws", end="we",
                       bucket_width_seconds=7 * 86400)
     return j.groupBy(F.unix_micros("ws").alias("week_start_us")).agg(
-        F.count("*").alias("n_ship"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum("__n").alias("n_ship"),
+        F.sum("__q").cast("double").alias("sum_qty"),
     )
 
 
@@ -405,20 +415,22 @@ LIMIT 10
 """,
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ficaria_spark.plans.layout import widen_thin_input
-
-    # r7: widen the fact side — the single-file orders scan has 2 effective
-    # splits, pinning the broadcast-join + map-side partial agg to 2 cores
-    orders = widen_thin_input(datagen.load(spark, sf_dir, "orders"))
+    orders = datagen.load(spark, sf_dir, "orders")
     cust = datagen.load(spark, sf_dir, "customer")
-    # customer is the small dimension — broadcast it (no shuffle of orders)
+    # r7 (guide §2.3, aggregate before the join): c_custkey is unique, so
+    # grouping by (c_custkey, c_name) after the join equals grouping orders
+    # by o_custkey first and attaching the name after — the map-side combine
+    # then reduces the fact side to one row per customer BEFORE any join or
+    # exchange. DECIMAL sums are exact integer arithmetic, so the regrouped
+    # revenue is bit-identical. customer broadcasts (no shuffle of orders).
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__rev"),
+        F.count("*").alias("n_orders"),
+    )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
-            F.count("*").alias("n_orders"),
-        )
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name",
+                F.col("__rev").cast("double").alias("revenue"), "n_orders")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
     )
