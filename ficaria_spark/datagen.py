@@ -41,9 +41,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TOKEN_EXPR = "transform(split(text, ' '), w -> cast(length(w) * 31 + ascii(substring(w, 1, 1)) as int))"
 
 
-def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical input table: (doc_id, tokens, n_tok, source)."""
+def tokenized_sequences(spark: SparkSession, sf_dir: str,
+                        *, widen: bool = False) -> DataFrame:
+    """The canonical input table: (doc_id, tokens, n_tok, source).
+
+    ``widen=True`` round-robins the DOCUMENT scan across the cluster before
+    the tokenize projection (r7): a single-row-group parquet source scans as
+    1-2 partitions, and widening the tokenized output instead would both run
+    the tokenizer on those few cores AND shuffle the 16× larger token arrays
+    — the widen must sit below the projection. No-op on multi-file scans."""
     docs = load(spark, sf_dir, "documents")
+    if widen:
+        from ficaria_spark.plans.layout import widen_thin_input
+
+        docs = widen_thin_input(docs)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(_TOKEN_EXPR).alias("tokens"),

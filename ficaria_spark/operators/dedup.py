@@ -69,8 +69,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     hex strings."""
     from ficaria_spark.plans.layout import widen_thin_input
 
+    # widen BELOW the tokenize projection (r7): the exchange then carries
+    # the raw text (not the larger word arrays) and the split runs on the
+    # widened partitions instead of the 1-2 scan cores
     base = widen_thin_input(
-        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w")))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", word_tokens(F.col("__t")).alias("__w"))
     n = F.size("__w")
     if shingle_hash == "md5":
         idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
@@ -393,10 +397,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # (measured O(words²) per doc — 9s for 5k docs)
     from ficaria_spark.plans.layout import widen_thin_input
 
+    # widen below the split projection (r7 — see shingles())
     words = widen_thin_input(df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
-    ))
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", F.split(F.trim(F.col("__t")), r"\s+").alias("__w"))
     n = F.size("__w")
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     # shingle value: native xxhash64 of the joined k-gram — an order of
@@ -784,10 +788,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         hash_expr = lambda w: F.xxhash64(F.lower(w), F.lit(seed))  # noqa: E731
     from ficaria_spark.plans.layout import widen_thin_input
 
+    # widen below the hash projection (r7 — see shingles())
     base = widen_thin_input(df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_tokens(F.col(text_col)), hash_expr).alias("hashes"),
-    ))
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id", F.transform(word_tokens(F.col("__t")), hash_expr).alias("hashes"))
 
     shifts = np.arange(nbits, dtype=np.uint64)
     # words per block: the (chunk × nbits) int32 bit matrix stays ~1 MB —

@@ -46,15 +46,18 @@ class NotFittedError(RuntimeError):
 def _arrow_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
     """Collect a small frame of double columns as an (n, d) float64 matrix
     via toArrow — skips the toPandas object-conversion path (r7: ~0.3 s per
-    fit at a 156k-row complete set). Nulls arrive as NaN, doubles pass
-    through bit-exact, so fitted state is identical to the pandas path."""
+    fit at a 156k-row complete set). Nulls arrive as NaN and doubles pass
+    through bit-exact. COLUMN-MAJOR layout, deliberately: pandas to_numpy
+    returned F-order, and the FCM kernels both run ~2.3× faster on it AND
+    round differently per BLAS/einsum summation order under C-order — the
+    F-order copy keeps the fitted state bit-identical to every earlier
+    round (r7 measurement: same values, different layout → different
+    center hashes and 1.6 s vs 3.7 s per fit)."""
     tbl = df.toArrow()
-    if tbl.num_rows == 0:
-        return np.zeros((0, len(cols)))
-    return np.column_stack([
-        tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64,
-                                                            copy=False)
-        for c in cols])
+    out = np.empty((tbl.num_rows, len(cols)), order="F")
+    for i, c in enumerate(cols):
+        out[:, i] = tbl.column(c).to_numpy(zero_copy_only=False)
+    return out
 
 
 def _missing_pred(cols: Sequence[str]):

@@ -512,9 +512,8 @@ def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence-packing plan (context 256): the all-integer
     doc→pack segment map, one window exchange per source group."""
     from ficaria_spark.operators.tokens import pack_segments
-    from ficaria_spark.plans.layout import widen_thin_input
 
-    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir))
+    seqs = datagen.tokenized_sequences(spark, sf_dir, widen=True)
     return pack_segments(seqs, context_len=_PACK_L)
 
 
@@ -540,11 +539,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     last carries exactly 256 tokens; token-array equality is exact (integer
     slices, no reordering within a doc)."""
     from ficaria_spark.operators.tokens import pack_sequences
-    from ficaria_spark.plans.layout import widen_thin_input
 
     # r7: the tokenize HOF runs twice (offsets pass + the slice join side)
-    # over a 1-2 partition scan — widen so both passes use the cluster
-    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir))
+    # over a 1-2 partition scan — widen (below the projection) so both
+    # passes use the cluster
+    seqs = datagen.tokenized_sequences(spark, sf_dir, widen=True)
     packed = pack_sequences(seqs, context_len=_PACK_L)
     return packed.select(
         "source", "pack_id", "n_tok",
@@ -725,7 +724,7 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = stratified_sample(surv, {"src1": 0.75, "src2": 0.5},
                              default_rate=0.25, key_col="doc_id",
                              seed=3, method="md5")
-    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir)) \
+    seqs = datagen.tokenized_sequences(spark, sf_dir, widen=True) \
         .withColumnRenamed("doc_id", "doc_id_str")
     surv_seqs = (
         seqs.join(surv.select(F.col("doc_id").cast("string").alias("doc_id_str")),
@@ -802,13 +801,19 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ficaria_spark.plans.layout import widen_thin_input
 
-    seqs = widen_thin_input(datagen.tokenized_sequences(spark, sf_dir))
+    seqs = datagen.tokenized_sequences(spark, sf_dir, widen=True)
     tok = seqs.select(F.explode("tokens").alias("token"))
-    sk = count_min_sketch(tok, item_col="token", d=4, w=256, seed=9,
-                          hash_method="md5")
-    est = cms_estimate(sk, tok.distinct(), item_col="token", d=4, w=256,
-                       seed=9, hash_method="md5")
+    # r7: ONE explode + aggregation pass over the token stream. The exact
+    # per-token counts feed the sketch as weights (counter values are
+    # identical — integer sums are associative), the estimate probes the
+    # same distinct-token table, and the old plan's three independent
+    # full-stream passes (sketch build, tok.distinct, exact counts)
+    # collapse into derivations of this one tiny aggregate.
     exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    sk = count_min_sketch(exact, item_col="token", weight_col="exact_count",
+                          d=4, w=256, seed=9, hash_method="md5")
+    est = cms_estimate(sk, exact.select("token"), item_col="token", d=4,
+                       w=256, seed=9, hash_method="md5")
     return exact.join(est, "token").select("token", "exact_count", "est_count")
 
 
