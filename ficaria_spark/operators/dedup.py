@@ -642,23 +642,70 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_union_find_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side connected components over a BOUNDED edge set: collect the
+    (src, dst) longs via Arrow, run union-find (path halving + union by
+    root id), return (doc_id, cluster_rep = component min id). Bounded-state
+    driver work in the fit_cap / driver-k-means mold — the caller gates on
+    the exact edge count before collecting."""
+    tbl = edges.toArrow()
+    src = tbl.column("src").to_numpy()
+    dst = tbl.column("dst").to_numpy()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by root id: the smaller id becomes the root, so the
+            # final root IS the component min (ids are the labels)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    import pandas as pd
+
+    spark = edges.sparkSession
+    if not parent:
+        return spark.createDataFrame([], "doc_id long, cluster_rep long")
+    ids = list(parent)
+    out = pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "cluster_rep": np.asarray([find(x) for x in ids], dtype=np.int64),
+    })
+    return spark.createDataFrame(out)
+
+
 def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
-                        id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                        id_b: str = "id_b", max_iter: int = 25,
+                        small_graph_rows: int | None = 1_000_000) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions — O(log n) rounds regardless of component DIAMETER, the
     variant to use when dup chains can be adversarially long (label
     propagation needs O(diameter) rounds). Same output contract as
-    :func:`dedup_clusters`: (doc_id, cluster_rep = component min id)."""
+    :func:`dedup_clusters`: (doc_id, cluster_rep = component min id).
+
+    ``small_graph_rows``: when the DEDUPED edge count (known exactly from
+    the pre-loop convergence probe — no extra job) is at or under this
+    threshold, the components are resolved with a driver-side union-find
+    over the collected edge list instead of the iterative star rounds
+    (r7): each distributed round costs ~7 exchanges of per-stage latency,
+    which dominates wall time outright for small graphs (sf1: 2.5k edges,
+    2 rounds + verify ≈ 3 s of scheduling for <1 ms of actual union-find).
+    Driver state is bounded by the threshold (16 B/edge ≈ 16 MB at the
+    default); pass ``None`` to force the distributed loop (the driver
+    gate's dedup_clusters slot does, so both distributed CC algorithms
+    stay oracle-checked end-to-end)."""
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("src"),
                      F.col(id_b).cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    all_ids = (
-        edges.select(F.col("src").alias("doc_id"))
-        .unionByName(edges.select(F.col("dst").alias("doc_id")))
         .distinct()
         .localCheckpoint()
     )
@@ -670,6 +717,14 @@ def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         return int(r["c"]), (int(r["h"]) if r["h"] is not None else 0)
 
     prev_sig = _sig(edges)
+    if small_graph_rows is not None and prev_sig[0] <= small_graph_rows:
+        return _cc_union_find_driver(edges)
+    all_ids = (
+        edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         # lazy checkpoint: the per-round convergence probe is the round's
         # ONE action (count + order-independent hash-sum — a map-side

@@ -100,6 +100,8 @@ def _cosine_topk_broadcast(df: DataFrame, *, id_col: str, vec_col: str,
         import pyarrow as pa
 
         nid_v, Nv = bc.value
+        # cross-task reusable score buffer (see _score_buffer)
+        s_buf = _score_buffer(_TOPK_CHUNK_ROWS, Nv.shape[0])
         for rb in batches:
             if not rb.num_rows:
                 continue
@@ -109,7 +111,8 @@ def _cosine_topk_broadcast(df: DataFrame, *, id_col: str, vec_col: str,
                 Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
             for c0 in range(0, len(Q), _TOPK_CHUNK_ROWS):
                 qc = qids[c0:c0 + _TOPK_CHUNK_ROWS]
-                S = Q[c0:c0 + _TOPK_CHUNK_ROWS] @ Nv.T
+                S = s_buf[:len(qc)]
+                np.dot(Q[c0:c0 + _TOPK_CHUNK_ROWS], Nv.T, out=S)
                 S[qc[:, None] == nid_v[None, :]] = -np.inf  # exclude self
                 idx, vals = _topk_block(S, k)
                 kk = idx.shape[1]
@@ -231,33 +234,65 @@ def _topk_block(S: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     O(n log n) full argsort — 20k-wide rows measured ~2.5 ms each); rows
     where a value tie straddles the k boundary (kth value appears more than
     k times) fall back to an exact full stable sort. Returns (idx, vals)
-    of shape (rows, min(k, cols))."""
+    of shape (rows, min(k, cols)).
+
+    CONSUMES ``S`` (overwrites it): selection runs as ``min(k, cols)``
+    argmin passes over the negated block — argmin's first-occurrence rule
+    on ties IS the (value desc, column asc) policy, applied globally, so no
+    boundary-tie fallback is needed. Crucially this allocates only
+    (rows,)-sized temporaries: an argpartition/argsort here materializes a
+    full (rows, cols) int64 index block, and fresh ≥32 MB allocations take
+    glibc's mmap path — 32 workers first-touch page-faulting such blocks
+    simultaneously serialize in the kernel (measured: multi-second stalls
+    for 0.1 s of math, r7). Float negation is an exact involution, so
+    re-negated values are bit-identical. NaN scores (zero-norm vectors)
+    and -inf sentinels both map to +inf and are only picked when a row has
+    fewer than k finite scores; callers drop them with isfinite."""
     kk = min(k, S.shape[1])
-    if kk >= S.shape[1]:
-        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-        return idx, np.take_along_axis(S, idx, axis=1)
-    part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-    part.sort(axis=1)  # ascending column == ascending neighbor id
-    pv = np.take_along_axis(S, part, axis=1)
-    ordr = np.argsort(-pv, axis=1, kind="stable")
-    idx = np.take_along_axis(part, ordr, axis=1)
-    vals = np.take_along_axis(pv, ordr, axis=1)
-    with np.errstate(invalid="ignore"):
-        n_ge = (S >= vals[:, -1][:, None]).sum(axis=1)
-    for r in np.nonzero(n_ge > kk)[0]:  # boundary ties: rare
-        full = np.argsort(-S[r], kind="stable")[:kk]
-        idx[r] = full
-        vals[r] = S[r][full]
-    return idx, vals
+    np.negative(S, out=S)  # work on -S in place; re-negate extracted values
+    # nan → +inf only; keep the ±inf sentinels (nan_to_num would otherwise
+    # clamp them to finite extremes and corrupt the drop semantics)
+    np.nan_to_num(S, copy=False, nan=np.inf, posinf=np.inf, neginf=-np.inf)
+    rows = np.arange(S.shape[0])
+    idx = np.empty((S.shape[0], kk), dtype=np.int64)
+    nvals = np.empty((S.shape[0], kk))
+    for j in range(kk):
+        ij = S.argmin(axis=1)
+        idx[:, j] = ij
+        nvals[:, j] = S[rows, ij]
+        S[rows, ij] = np.inf
+    return idx, -nvals
 
 
 #: query rows scored per inner chunk in the broadcast kernels: bounds each
-#: worker's transient footprint (chunk·n·8B score block + temps ≈ 60 MB at
-#: n=20k) — a full 10k-row Arrow batch against a 20k corpus would allocate
+#: worker's transient footprint (chunk·n·8B score block + temps ≈ 20 MB at
+#: n=20k — deliberately under glibc's 32 MB mmap-threshold cap so freed
+#: blocks stay heap-retained) — a full 10k-row Arrow batch against a 20k corpus would allocate
 #: ~1.6 GB of fresh pages per batch across S/−S/mask temporaries, and 32
 #: concurrent workers doing that produced multi-second allocator/page-fault
 #: stalls (r7 measurement: sporadic 2 s → 18 s map walls, quiet host probes)
-_TOPK_CHUNK_ROWS = 256
+_TOPK_CHUNK_ROWS = 128
+
+#: per-worker reusable score buffer (guide §4.5 heavyweight-state caching):
+#: reused Python workers keep it across TASKS, so the chunk·n block is
+#: first-touched once per worker lifetime instead of once per task — a
+#: fresh ≥32 MB numpy allocation always takes glibc's mmap path, and 32
+#: workers page-faulting one concurrently measured seconds of kernel-lock
+#: serialization per job (r7). Keyed by PID (forked children must not share)
+#: and capped at one buffer per worker.
+_SCORE_BUF: dict = {}
+
+
+def _score_buffer(rows: int, cols: int) -> np.ndarray:
+    import os as _os
+
+    key = (_os.getpid(), rows, cols)
+    buf = _SCORE_BUF.get(key)
+    if buf is None:
+        _SCORE_BUF.clear()
+        buf = np.empty((rows, cols))
+        _SCORE_BUF[key] = buf
+    return buf
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
@@ -503,6 +538,8 @@ def _ivf_topk_broadcast(df: DataFrame, *, k: int, n_lists: int, nprobe: int,
         import pyarrow as pa
 
         nid_v, Nv, lists_v, C = bc.value
+        # cross-task reusable score buffer (see _score_buffer)
+        s_buf = _score_buffer(_TOPK_CHUNK_ROWS, Nv.shape[0])
         for rb in batches:
             if not rb.num_rows:
                 continue
@@ -516,7 +553,8 @@ def _ivf_topk_broadcast(df: DataFrame, *, k: int, n_lists: int, nprobe: int,
             for c0 in range(0, len(Q), _TOPK_CHUNK_ROWS):
                 qc = qids[c0:c0 + _TOPK_CHUNK_ROWS]
                 nc = near[c0:c0 + _TOPK_CHUNK_ROWS]
-                S = Q[c0:c0 + _TOPK_CHUNK_ROWS] @ Nv.T
+                S = s_buf[:len(qc)]
+                np.dot(Q[c0:c0 + _TOPK_CHUNK_ROWS], Nv.T, out=S)
                 probed = (lists_v[None, :, None]
                           == nc[:, None, :]).any(axis=2)
                 S[~probed] = -np.inf          # outside the probed lists

@@ -1219,7 +1219,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tracked_persist(minhash_dedup_pairs(
         docs, k=3, num_hashes=64, bands=16, threshold=0.5, engine="arrow"))
     a = dedup_clusters(pairs)
-    b = dedup_clusters_star(pairs).withColumnRenamed(
+    # small_graph_rows=None: the GATE deliberately runs the DISTRIBUTED
+    # star loop (r7 — the production operator defaults to a driver
+    # union-find below 1M edges; the gate keeps both distributed CC
+    # algorithms oracle-checked end-to-end)
+    b = dedup_clusters_star(pairs, small_graph_rows=None).withColumnRenamed(
         "cluster_rep", "cluster_rep_star")
     return a.join(b, "doc_id")
 

@@ -579,10 +579,14 @@ def test_dedup_clusters_star_matches_label_propagation(spark):
     pairs = pd.DataFrame(chain + blobs, columns=["id_a", "id_b"])
     sdf = spark.createDataFrame(pairs)
     a = dd.dedup_clusters(sdf, max_iter=40).toPandas()
+    # r7: both routes — the driver union-find (default, small graphs) and
+    # the forced distributed star loop — must agree with min-label
     b = dd.dedup_clusters_star(sdf).toPandas()
+    c = dd.dedup_clusters_star(sdf, small_graph_rows=None).toPandas()
     ma = dict(zip(a.doc_id, a.cluster_rep))
     mb = dict(zip(b.doc_id, b.cluster_rep))
-    assert ma == mb
+    mc = dict(zip(c.doc_id, c.cluster_rep))
+    assert ma == mb == mc
     # the chain resolves to its minimum
     assert all(ma[i] == 100 for i in range(100, 131))
 
