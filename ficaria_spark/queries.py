@@ -693,12 +693,16 @@ def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score, redact_pii, repetition_features)
     from ficaria_spark.operators.tokens import pack_sequences
 
-    from ficaria_spark.plans.layout import widen_thin_input
-
-    # r7: the driver's single-row-group parquet pins every regex/HOF gate
-    # branch to 1-2 scan cores — widen ONCE and let all five gate branches
-    # reuse the same exchange (no-op on corpus-scale multi-file scans)
-    docs = widen_thin_input(datagen.load(spark, sf_dir, "documents"))
+    # r7, measured and deliberately NOT widened here: Catalyst pushes each
+    # gate's FILTER (with the full regex predicate substituted) below a
+    # bare repartition, so a widen before the branches just adds an
+    # exchange while the regex work stays on the scan partitions — and the
+    # three pushed-down predicate stages overlap each other on the free
+    # cores anyway (event-log waterfall). A/B at sf1: no-widen ≈ 3.1 s
+    # median vs widen 3.5 s vs widen+persist 4.9 s (the persist serializes
+    # AQE stage waves). The shingle/tokenize sides below widen themselves
+    # internally where it does pay.
+    docs = datagen.load(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
 
