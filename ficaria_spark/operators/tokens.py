@@ -132,18 +132,24 @@ def pack_segments(df: DataFrame, *, context_len: int,
     order_col = order_col or id_col
     L = F.lit(context_len)
     extra = [order_col] if order_col != id_col else []
-    pre = (
-        df.select(by, id_col, *extra,
-                  F.col(n_tok_col).cast("long").alias("__n"))
-        .where(F.col(n_tok_col) > 0)
-    )
+    # r7: empty/null docs are neutralized with __n = 0 instead of a
+    # ``where(n_tok > 0)`` — Catalyst pushes that filter (with the caller's
+    # whole tokenize expression substituted into the predicate) below any
+    # repartition, pinning the tokenizer to the raw scan partitions. A
+    # zero-__n row contributes 0 to every prefix sum and the conditional
+    # explode below emits nothing for it, so the output is identical.
+    pre = df.select(by, id_col, *extra,
+                    F.coalesce(F.col(n_tok_col).cast("long"),
+                               F.lit(0)).alias("__n"))
     base = (_offsets_two_level(pre, by, order_col, num_buckets)
             if num_buckets else _offsets_window(pre, by, order_col))
     first = F.floor(F.col("__off") / L)
     last = F.floor((F.col("__off") + F.col("__n") - 1) / L)
     seg = base.select(
         by, id_col, "__n", "__off",
-        F.explode(F.sequence(first, last)).alias("pack_id"),
+        F.explode(
+            F.when(F.col("__n") > 0, F.sequence(first, last))
+            .otherwise(F.array().cast("array<bigint>"))).alias("pack_id"),
     )
     g0 = F.greatest(F.col("__off"), F.col("pack_id") * L)
     g1 = F.least(F.col("__off") + F.col("__n"), (F.col("pack_id") + 1) * L)
