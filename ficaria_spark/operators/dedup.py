@@ -642,13 +642,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _cc_union_find_driver(edges: DataFrame) -> DataFrame:
-    """Driver-side connected components over a BOUNDED edge set: collect the
-    (src, dst) longs via Arrow, run union-find (path halving + union by
-    root id), return (doc_id, cluster_rep = component min id). Bounded-state
-    driver work in the fit_cap / driver-k-means mold — the caller gates on
-    the exact edge count before collecting."""
-    tbl = edges.toArrow()
+def _cc_union_find_driver(spark, tbl) -> DataFrame:
+    """Driver-side connected components over a BOUNDED, Arrow-collected edge
+    table (src, dst): union-find (path halving + union by root id), returns
+    (doc_id, cluster_rep = component min id). Bounded-state driver work in
+    the fit_cap / driver-k-means mold — the caller gates on the collected
+    row count before calling. Duplicate and re-oriented edges are harmless
+    (union is idempotent)."""
     src = tbl.column("src").to_numpy()
     dst = tbl.column("dst").to_numpy()
     parent: dict[int, int] = {}
@@ -671,7 +671,6 @@ def _cc_union_find_driver(edges: DataFrame) -> DataFrame:
                 parent[ra] = rb
     import pandas as pd
 
-    spark = edges.sparkSession
     if not parent:
         return spark.createDataFrame([], "doc_id long, cluster_rep long")
     ids = list(parent)
@@ -691,24 +690,31 @@ def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
     propagation needs O(diameter) rounds). Same output contract as
     :func:`dedup_clusters`: (doc_id, cluster_rep = component min id).
 
-    ``small_graph_rows``: when the DEDUPED edge count (known exactly from
-    the pre-loop convergence probe — no extra job) is at or under this
-    threshold, the components are resolved with a driver-side union-find
-    over the collected edge list instead of the iterative star rounds
-    (r7): each distributed round costs ~7 exchanges of per-stage latency,
-    which dominates wall time outright for small graphs (sf1: 2.5k edges,
-    2 rounds + verify ≈ 3 s of scheduling for <1 ms of actual union-find).
-    Driver state is bounded by the threshold (16 B/edge ≈ 16 MB at the
-    default); pass ``None`` to force the distributed loop (the driver
-    gate's dedup_clusters slot does, so both distributed CC algorithms
-    stay oracle-checked end-to-end)."""
-    edges = (
+    ``small_graph_rows``: the RAW pair list is probed with a
+    ``limit(threshold + 1)`` Arrow collect — one job, no distinct shuffle,
+    no checkpoint — and when at most ``small_graph_rows`` rows come back
+    (so the probe saw EVERY edge) the components are resolved with a
+    driver-side union-find instead of the iterative star rounds (r7): each
+    distributed round costs ~7 exchanges of per-stage latency, which
+    dominates wall time outright for small graphs (sf1: 2.5k edges,
+    2 rounds + verify ≈ 3 s of scheduling for <1 ms of actual union-find;
+    duplicate pair rows are harmless — union is idempotent — they only
+    make the threshold trigger conservatively). Driver state is bounded by
+    the threshold (16 B/edge ≈ 16 MB at the default); pass ``None`` to
+    force the distributed loop (the driver gate's dedup_clusters slot
+    does, so both distributed CC algorithms stay oracle-checked
+    end-to-end)."""
+    raw = (
         pairs.select(F.col(id_a).cast("long").alias("src"),
                      F.col(id_b).cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
     )
+    if small_graph_rows is not None:
+        probe = raw.limit(small_graph_rows + 1).toArrow()
+        if probe.num_rows <= small_graph_rows:
+            return _cc_union_find_driver(pairs.sparkSession, probe)
+    edges = raw.distinct().localCheckpoint()
+
     def _sig(e: DataFrame):
         # decimal(38) accumulator: a long hash-sum overflows under ANSI
         r = e.agg(F.count("*").alias("c"),
@@ -717,8 +723,6 @@ def dedup_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         return int(r["c"]), (int(r["h"]) if r["h"] is not None else 0)
 
     prev_sig = _sig(edges)
-    if small_graph_rows is not None and prev_sig[0] <= small_graph_rows:
-        return _cc_union_find_driver(edges)
     all_ids = (
         edges.select(F.col("src").alias("doc_id"))
         .unionByName(edges.select(F.col("dst").alias("doc_id")))
